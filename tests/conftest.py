@@ -7,8 +7,11 @@ Multi-chip hardware is not available in CI; sharding tests run on a virtual
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force CPU even when the
+# environment preconfigures a TPU platform (e.g. JAX_PLATFORMS=axon): the
+# test suite runs on a virtual 8-device CPU mesh; only bench.py targets the
+# real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
