@@ -172,6 +172,9 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     digits, then 32 word-serial Montgomery steps (each clears one low digit by
     adding m*p, m = t0 * (-p^{-1}) mod 2^8), final conditional subtract."""
     p_limbs = jnp.asarray(spec.p_limbs)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
     t = _schoolbook(a, b)                      # (..., 64) lazy
     t = _carry_normalize(t, 2 * N_LIMBS + 1)   # exact digits + headroom digit
 
