@@ -1,0 +1,188 @@
+"""The flagship model: prove/verify BLAKE3 chunk possession via Nova IVC.
+
+End-to-end equivalent of the reference's `prove_chunk_hash`
+(rust_fold/src/main.rs:41-203): given file bytes and a chunk index, fold one
+step per 64-byte block plus one per Merkle level, and produce a proof that
+the prover knows the chunk's bytes and a path to the published BLAKE3 root.
+The verifier recomputes the root hash from the final IVC state z[2:10]
+(main.rs:195-201) and checks the chain invariants.
+
+Usage (CLI):
+    python -m hotproofs_tpu.models.chunk_prover prove --file F --chunk 0 \
+        --out proof.pkl
+    python -m hotproofs_tpu.models.chunk_prover verify --proof proof.pkl \
+        --expect-hash HEX
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core import blake3_ref as b3
+from ..circuits import blake3_nova as nova_circ
+from ..circuits.blake3_compression import VESTA_PRIME
+from ..circuits.dsl import eval_witness
+from ..nova.ivc import IVC, IVCProof
+from ..nova.pedersen import SMALL_BITS, CommitmentKey
+from ..nova.r1cs import ShapeDevice
+from ..ops import curve as C
+
+IO_ARITY = nova_circ.IO_ARITY
+
+
+def _big_witness_indices(layout, n_io: int) -> np.ndarray:
+    """Witness positions holding full-width field elements: the IsZero
+    inverse hints. Everything else in the BLAKE3 step witness is < 2^40
+    (bits, u32 words, u34 carry sums), enabling the small-MSM fast path."""
+    idx = []
+    w_base = 1 + n_io
+    for seg in layout.segments:
+        if seg.role == "aux" and seg.name.endswith("/inv"):
+            for k in range(seg.length):
+                idx.append(seg.start + k - w_base)
+    return np.asarray(sorted(idx), dtype=np.int64)
+
+
+@lru_cache(maxsize=None)
+def _build_stack(curve_name: str = "pallas"):
+    curve = C.CURVES[curve_name]
+    modulus = curve.scalar.p
+    r1cs, layout = nova_circ.get_nova_step_circuit(modulus, 0)
+    shape = ShapeDevice.from_dsl(r1cs)
+    n = max(shape.n_wit, shape.n_cons)
+    ck = CommitmentKey.create(curve, b"blake3-nova", n)
+    big_idx = _big_witness_indices(layout, shape.n_io)
+    ivc = IVC(shape, curve, ck, big_idx, label=b"blake3-chunk")
+    return ivc, layout, modulus
+
+
+@dataclass
+class ChunkProof:
+    """Proof + public statement."""
+
+    ivc_proof: IVCProof
+    chunk_idx: int
+    n_blocks: int
+    leaf_depth: int
+    total_depth: int
+
+    def save(self, path: str) -> None:
+        import pickle
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path: str) -> "ChunkProof":
+        import pickle
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+class ChunkProver:
+    """prove/verify pair for BLAKE3 chunk possession (Pasta by default)."""
+
+    def __init__(self, curve: str = "pallas"):
+        self.ivc, self.layout, self.modulus = _build_stack(curve)
+
+    # ------------------------------------------------------------------
+    def prove(self, data: bytes, chunk_idx: int,
+              progress: bool = False) -> Tuple[bytes, ChunkProof]:
+        proof_data = b3.hash_with_path(data, chunk_idx)
+        sched = nova_circ.build_schedule(proof_data)
+        z = [v % self.modulus for v in sched.z0]
+
+        def witness_iter():
+            nonlocal z
+            for step in sched.steps:
+                w, z_out = nova_circ.eval_step_witness(z, step, self.modulus)
+                z = z_out
+                yield w
+
+        ivc_proof = self.ivc.prove(sched.z0, witness_iter(),
+                                   progress=progress)
+        chunk_proof = ChunkProof(
+            ivc_proof=ivc_proof,
+            chunk_idx=chunk_idx,
+            n_blocks=sched.n_blocks,
+            leaf_depth=sched.leaf_depth,
+            total_depth=proof_data.total_depth,
+        )
+        return proof_data.root_hash, chunk_proof
+
+    # ------------------------------------------------------------------
+    def verify(self, proof: ChunkProof,
+               expected_hash: Optional[bytes] = None) -> bytes:
+        """Verify the fold chain and statement; returns the proven root hash.
+
+        Statement checks mirror z0 construction (main.rs:130-145) and the
+        final-state extraction (main.rs:195-201): z0 must encode (IV, depth =
+        leaf_depth-1, block_count=0, the claimed chunk_idx); the final state
+        must have consumed all blocks and reached the root (depth 0)."""
+        z0 = proof.ivc_proof.z0
+        expected_z0 = ([proof.n_blocks, 0] + list(b3.IV)
+                       + [proof.total_depth, proof.leaf_depth - 1,
+                          proof.chunk_idx & 0xFFFFFFFF,
+                          proof.chunk_idx >> 32, proof.leaf_depth])
+        assert [v % self.modulus for v in z0] == \
+            [v % self.modulus for v in expected_z0], "z0 mismatch"
+        expected_steps = proof.n_blocks + proof.leaf_depth - 1
+        assert proof.ivc_proof.num_steps == expected_steps, "step count"
+
+        z_final = self.ivc.verify(proof.ivc_proof, io_arity=IO_ARITY)
+        assert z_final[0] == proof.n_blocks
+        assert z_final[1] == proof.n_blocks, "not all blocks absorbed"
+        assert z_final[11] == 0, "did not reach the root"
+        root = b"".join(int(w).to_bytes(4, "little") for w in z_final[2:10])
+        if expected_hash is not None:
+            assert root == expected_hash, "root hash mismatch"
+        return root
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p1 = sub.add_parser("prove")
+    p1.add_argument("--file", required=True)
+    p1.add_argument("--chunk", type=int, default=0)
+    p1.add_argument("--out", default="proof.pkl")
+    p1.add_argument("--platform", default=None)
+    p2 = sub.add_parser("verify")
+    p2.add_argument("--proof", required=True)
+    p2.add_argument("--expect-hash", default=None)
+    p2.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+
+    from ..utils.config import setup_jax
+    setup_jax(platform=args.platform)
+
+    if args.cmd == "prove":
+        with open(args.file, "rb") as f:
+            data = f.read()
+        prover = ChunkProver()
+        t0 = time.time()
+        root, proof = prover.prove(data, args.chunk, progress=True)
+        dt = time.time() - t0
+        proof.save(args.out)
+        n = proof.ivc_proof.num_steps
+        print(f"root hash: {root.hex()}")
+        print(f"steps: {n}  time: {dt:.2f}s  folds/sec: {n / dt:.3f}")
+        print(f"proof written to {args.out}")
+    else:
+        proof = ChunkProof.load(args.proof)
+        prover = ChunkProver()
+        t0 = time.time()
+        expect = bytes.fromhex(args.expect_hash) if args.expect_hash else None
+        root = prover.verify(proof, expect)
+        print(f"VERIFIED root hash: {root.hex()}  "
+              f"({time.time() - t0:.2f}s, {proof.ivc_proof.num_steps} steps)")
+
+
+if __name__ == "__main__":
+    main()

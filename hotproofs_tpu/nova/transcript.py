@@ -1,0 +1,58 @@
+"""Poseidon Fiat–Shamir transcript for Nova folds.
+
+Replaces arecibo's RO trait instantiation (neptune Poseidon — SURVEY.md §2b).
+Challenges are derived over the circuit's scalar field; group elements are
+absorbed as affine coordinates split into two 128-bit halves (injective for
+<2^255 coordinates regardless of base/scalar field size mismatch); the point
+at infinity absorbs as (0,0,1) with an explicit infinity tag.
+
+The transcript is host-side in round 1 (one comm_T per fold crosses
+host<->device; the vectors never do). Keep every absorb explicit and ordered
+— the verifier replays the exact sequence.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Sequence, Tuple
+
+from ..ops import poseidon as P
+
+HALF_BITS = 128
+HALF_MASK = (1 << HALF_BITS) - 1
+
+
+class Transcript:
+    def __init__(self, field_name: str, domain: bytes, pp_digest: int):
+        self.spec = P.make_spec(field_name)
+        tag = int.from_bytes(
+            hashlib.sha256(b"hotproofs/transcript/" + domain).digest(),
+            "little") % self.spec.field.p
+        self.sponge = P.HostSponge(self.spec, domain_tag=tag)
+        self.absorb_scalar(pp_digest)
+
+    def absorb_scalar(self, v: int) -> None:
+        self.sponge.absorb([v % self.spec.field.p])
+
+    def absorb_scalars(self, vs: Sequence[int]) -> None:
+        for v in vs:
+            self.absorb_scalar(v)
+
+    def absorb_point(self, pt: Optional[Tuple[int, int]]) -> None:
+        """pt is affine (x, y) ints or None for infinity."""
+        if pt is None:
+            self.sponge.absorb([0, 0, 1])
+        else:
+            x, y = pt
+            self.sponge.absorb([x & HALF_MASK, x >> HALF_BITS,
+                                y & HALF_MASK, y >> HALF_BITS])
+
+    def challenge(self) -> int:
+        return self.sponge.squeeze()
+
+
+def digest_of(*parts: bytes) -> int:
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(hashlib.sha256(p).digest())
+    return int.from_bytes(h.digest(), "little")

@@ -251,15 +251,49 @@ def host_add(spec: CurveSpec, p, q):
     return (x3, y3)
 
 
+def _host_proj_add(spec: CurveSpec, P, Q):
+    """RCB15 Alg 7 on host ints, projective (X, Y, Z); identity=(0,1,0)."""
+    m = spec.base.p
+    b3 = 3 * spec.b % m
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0 = X1 * X2 % m
+    t1 = Y1 * Y2 % m
+    t2 = Z1 * Z2 % m
+    t3 = ((X1 + Y1) * (X2 + Y2) - t0 - t1) % m
+    t4 = ((Y1 + Z1) * (Y2 + Z2) - t1 - t2) % m
+    ty = ((X1 + Z1) * (X2 + Z2) - t0 - t2) % m
+    x3 = 3 * t0 % m
+    t2b = b3 * t2 % m
+    z3 = (t1 + t2b) % m
+    t1b = (t1 - t2b) % m
+    yb = b3 * ty % m
+    X3 = (t3 * t1b - t4 * yb) % m
+    Y3 = (t1b * z3 + yb * x3) % m
+    Z3 = (z3 * t4 + x3 * t3) % m
+    return (X3, Y3, Z3)
+
+
 def host_scalar_mul(spec: CurveSpec, k: int, p):
+    """Host double-and-add in projective coords (one inverse at the end)."""
+    if p is None:
+        return None
     k %= spec.scalar.p
-    acc = None
+    if k == 0:
+        return None
+    m = spec.base.p
+    acc = (0, 1, 0)
+    pp = (p[0], p[1], 1)
     while k:
         if k & 1:
-            acc = host_add(spec, acc, p)
-        p = host_add(spec, p, p)
+            acc = _host_proj_add(spec, acc, pp)
+        pp = _host_proj_add(spec, pp, pp)
         k >>= 1
-    return acc
+    X, Y, Z = acc
+    if Z == 0:
+        return None
+    zi = pow(Z, m - 2, m)
+    return (X * zi % m, Y * zi % m)
 
 
 def host_msm(spec: CurveSpec, scalars: Sequence[int], points) -> object:

@@ -57,13 +57,16 @@ class FieldSpec:
     r_mod_p: int = 0            # R = 2^256 mod p
     r2_limbs: np.ndarray = dc_field(repr=False, default=None)  # R^2 mod p
     one_mont_limbs: np.ndarray = dc_field(repr=False, default=None)
+    mu_limbs: np.ndarray = dc_field(repr=False, default=None)  # -p^{-1} mod R
     exp_p_minus_2_bits: tuple = dc_field(repr=False, default=())
 
     @staticmethod
     def make(name: str, p: int) -> "FieldSpec":
-        r = (1 << (N_LIMBS * LIMB_BITS)) % p
+        big_r = 1 << (N_LIMBS * LIMB_BITS)
+        r = big_r % p
         r2 = (r * r) % p
         n0inv = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        mu = (-pow(p, -1, big_r)) % big_r
         e = p - 2
         bits = tuple((e >> i) & 1 for i in range(e.bit_length()))
         return FieldSpec(
@@ -73,6 +76,7 @@ class FieldSpec:
             r_mod_p=r,
             r2_limbs=int_to_limbs(r2),
             one_mont_limbs=int_to_limbs(r),
+            mu_limbs=int_to_limbs(mu),
             exp_p_minus_2_bits=bits,
         )
 
@@ -95,38 +99,65 @@ class FieldSpec:
 # ---------------------------------------------------------------------------
 
 
+def _shift_up(x: jnp.ndarray) -> jnp.ndarray:
+    """Move digit k to position k+1 (drop the top, zero into the bottom)."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(1, 0)]
+    return jnp.pad(x, pad)[..., :-1]
+
+
+def _ks_prefix(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Kogge–Stone inclusive prefix of the carry operator over the limb axis.
+
+    (g, p) are int32 0/1 generate/propagate flags; the operator is
+    (g1,p1)∘(g2,p2) = (g1 | (p1 & g2), p1 & p2) with (older) on the right.
+    Returns the inclusive aggregate G (carry OUT of each position). Loop-free:
+    log2(L) doubling rounds of pure vector ops — no lax control flow, which
+    keeps XLA graphs flat and fast to compile (a lax.scan here costs a
+    compiled while-loop PER INSTANTIATION inside big kernels like MSM)."""
+    L = g.shape[-1]
+    d = 1
+    while d < L:
+        pad = [(0, 0)] * (g.ndim - 1) + [(d, 0)]
+        g_old = jnp.pad(g, pad)[..., :-d]
+        p_old = jnp.pad(p, pad, constant_values=0)[..., :-d]
+        g = g | (p & g_old)
+        p = p & p_old
+        d *= 2
+    return g
+
+
 def _carry_normalize(t: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
     """Propagate carries of a lazy digit vector into base-2^8 digits.
 
     t: (..., k) int32 with entries < 2^23. Returns (..., out_limbs) digits;
-    overflow beyond out_limbs is dropped (callers guarantee it is zero)."""
+    overflow beyond out_limbs is dropped (callers guarantee it is zero).
+
+    Loop-free: three shrink rounds (2^23 -> 2^16 -> 2^9 -> <=256 per digit)
+    then exact carry-lookahead via Kogge–Stone."""
     k = t.shape[-1]
-    tt = jnp.moveaxis(t, -1, 0)  # (k, ...)
-
-    def step(carry, limb):
-        v = limb + carry
-        return v >> LIMB_BITS, v & LIMB_MASK
-
-    _, digits = jax.lax.scan(step, jnp.zeros_like(tt[0]), tt)
-    digits = jnp.moveaxis(digits, 0, -1)
     if k < out_limbs:
-        pad = [(0, 0)] * (digits.ndim - 1) + [(0, out_limbs - k)]
-        digits = jnp.pad(digits, pad)
-    return digits[..., :out_limbs]
+        pad = [(0, 0)] * (t.ndim - 1) + [(0, out_limbs - k)]
+        t = jnp.pad(t, pad)
+    for _ in range(3):
+        t = (t & LIMB_MASK) + _shift_up(t >> LIMB_BITS)
+    # Now every digit <= 256: one lookahead round finishes exactly.
+    g = (t > LIMB_MASK).astype(jnp.int32)
+    p = (t == LIMB_MASK).astype(jnp.int32)
+    carry_in = _shift_up(_ks_prefix(g, p))
+    return ((t + carry_in) & LIMB_MASK)[..., :out_limbs]
 
 
 def _sub_with_borrow(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b over base-2^8 digit vectors; returns (diff_digits, borrow_out)."""
-    d = a - b
-    dd = jnp.moveaxis(d, -1, 0)
-
-    def step(borrow, limb):
-        v = limb - borrow
-        new_borrow = (v < 0).astype(jnp.int32)
-        return new_borrow, v + (new_borrow << LIMB_BITS)
-
-    borrow, digits = jax.lax.scan(step, jnp.zeros_like(dd[0]), dd)
-    return jnp.moveaxis(digits, 0, -1), borrow
+    """a - b over canonical base-2^8 digit vectors (entries in [0, 255]);
+    returns (diff_digits, borrow_out). Loop-free borrow-lookahead."""
+    s = a - b
+    g = (s < 0).astype(jnp.int32)
+    p = (s == 0).astype(jnp.int32)
+    agg = _ks_prefix(g, p)
+    borrow_in = _shift_up(agg)
+    d = s - borrow_in
+    digits = jnp.where(d < 0, d + (1 << LIMB_BITS), d)
+    return digits, agg[..., -1]
 
 
 def _cond_sub_p(a: jnp.ndarray, p_limbs: jnp.ndarray) -> jnp.ndarray:
@@ -156,42 +187,44 @@ def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(is_zero, z, diff)
 
 
-def _schoolbook(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Full 64-column lazy product of two 32-limb vectors (col sums < 2^21)."""
-    cols = jnp.zeros(a.shape[:-1] + (2 * N_LIMBS,), jnp.int32)
-    for i in range(N_LIMBS):
-        contrib = a[..., i: i + 1] * b  # (..., 32)
-        cols = cols.at[..., i: i + N_LIMBS].add(contrib)
-    return cols
+# Anti-diagonal contraction matrices: limb-product outer(i,j) -> column i+j.
+# One dot against a 0/1 constant turns the 32x32 outer product into the 63
+# convolution columns — 3 large fusable ops per field-mul instead of dozens
+# of slice updates (keeps XLA graphs small and feeds the TPU dot units; all
+# values stay < 2^22, exact in int32).
+_DIAG_IDX = np.arange(N_LIMBS)[:, None] + np.arange(N_LIMBS)[None, :]
+_M_FULL = (_DIAG_IDX.reshape(-1, 1) ==
+           np.arange(2 * N_LIMBS - 1)).astype(np.int32)      # (1024, 63)
+_M_TRUNC = _M_FULL[:, :N_LIMBS]                               # (1024, 32)
+
+
+def _conv(a: jnp.ndarray, b: jnp.ndarray, mat: np.ndarray) -> jnp.ndarray:
+    """Lazy convolution columns of two digit vectors via outer-product+dot."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    outer = (a[..., :, None] * b[..., None, :]).reshape(
+        shape[:-1] + (N_LIMBS * N_LIMBS,))
+    return jax.lax.dot_general(
+        outer, jnp.asarray(mat),
+        ((( outer.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
 
 
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product: a*b*R^{-1} mod p. Inputs/outputs canonical digits.
 
-    Structure: lazy schoolbook product, carry-normalize to exact base-2^8
-    digits, then 32 word-serial Montgomery steps (each clears one low digit by
-    adding m*p, m = t0 * (-p^{-1}) mod 2^8), final conditional subtract."""
+    Full-width Montgomery reduction (no word-serial loop):
+        T = a*b;  m = (T mod R) * mu mod R  with mu = -p^{-1} mod R;
+        U = T + m*p  (divisible by R);  result = U/R, one conditional
+    subtract. Three digit convolutions + three carry scans total."""
     p_limbs = jnp.asarray(spec.p_limbs)
-    shape = jnp.broadcast_shapes(a.shape, b.shape)
-    a = jnp.broadcast_to(a, shape)
-    b = jnp.broadcast_to(b, shape)
-    t = _schoolbook(a, b)                      # (..., 64) lazy
-    t = _carry_normalize(t, 2 * N_LIMBS + 1)   # exact digits + headroom digit
-
-    for i in range(N_LIMBS):
-        m = (t[..., i] * spec.n0inv) & LIMB_MASK        # (...,)
-        t = t.at[..., i: i + N_LIMBS].add(m[..., None] * p_limbs)
-        # Clear digit i exactly, pushing its (multiple-of-256) value upward.
-        carry = (t[..., i] >> LIMB_BITS)
-        t = t.at[..., i + 1].add(carry)
-        t = t.at[..., i].set(0)
-        # Keep accumulated limbs small: periodic normalization not needed —
-        # each limb gains at most one 16-bit product per step (< 2^23 total
-        # after 32 steps)… except the carry chain; bound it instead:
-        # carry < 2^15 + 2^15 = 2^16, added once — safe.
-
-    res = t[..., N_LIMBS: 2 * N_LIMBS + 1]
-    res = _carry_normalize(res, N_LIMBS + 1)
+    t = _carry_normalize(_conv(a, b, _M_FULL), 2 * N_LIMBS)   # exact T digits
+    m_lazy = _conv(t[..., :N_LIMBS], jnp.asarray(spec.mu_limbs), _M_TRUNC)
+    m = _carry_normalize(m_lazy, N_LIMBS)     # m = mu*T mod R (carry dropped)
+    mp = _conv(m, p_limbs, _M_FULL)           # (..., 63) lazy, cols < 2^21
+    u = t.at[..., : 2 * N_LIMBS - 1].add(mp)  # digits + lazy cols < 2^22
+    res = _carry_normalize(u, 2 * N_LIMBS + 1)[..., N_LIMBS:]  # 33 digits
     p_ext = jnp.concatenate([p_limbs, jnp.zeros((1,), jnp.int32)])
     return _cond_sub_p(res, p_ext)[..., :N_LIMBS]
 

@@ -1,0 +1,221 @@
+"""Poseidon permutation + sponge (Nova's random oracle), TPU-native.
+
+Replaces `neptune` 13.0.0 (the reference's transitive Poseidon dependency via
+arecibo — SURVEY.md §2b): Nova uses Poseidon as the Fiat–Shamir RO for fold
+challenges. Constants are generated host-side with the Grain-LFSR procedure
+of the Poseidon reference implementation (generate_parameters_grain.sage from
+the Poseidon paper, the same procedure neptune follows): 80-bit LFSR seeded
+from (field tag, sbox tag, n, t, R_F, R_P), 160 warm-up clocks, self-shrinking
+output, rejection sampling of field elements; MDS is the Cauchy matrix
+1/(x_i + y_j).
+
+NOTE on bit-exactness: the reference's exact transcript depends on arecibo's
+internal neptune parameterisation (strength/arity/HashType tags), which is
+not observable in this environment (no Rust toolchain; SURVEY.md §4 item 3).
+This stack therefore fixes its own documented parameterisation (t=3, R_F=8,
+R_P=57, alpha=5) and keeps prover/verifier self-consistent; the transcript
+module isolates every absorb/squeeze so a future round can swap constants for
+arecibo-parity without touching fold logic.
+
+The JAX permutation is branchless (full/partial round masks) and batched; a
+host exact-integer mirror serves as the test oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field as F
+
+ALPHA = 5
+R_FULL = 8
+R_PARTIAL = 57  # 128-bit security for ~255-bit primes, alpha=5, t=3
+
+
+def _grain_bits(p_bits: int, t: int, r_f: int, r_p: int):
+    """Self-shrinking Grain LFSR bit stream per the Poseidon paper."""
+    def enc(val, width):
+        return [(val >> (width - 1 - i)) & 1 for i in range(width)]
+
+    state = (enc(1, 2) + enc(0, 4) + enc(p_bits, 12) + enc(t, 12)
+             + enc(r_f, 10) + enc(r_p, 10) + [1] * 30)
+    assert len(state) == 80
+
+    def clock():
+        nb = (state[62] ^ state[51] ^ state[38] ^ state[23]
+              ^ state[13] ^ state[0])
+        state.pop(0)
+        state.append(nb)
+        return nb
+
+    for _ in range(160):
+        clock()
+
+    while True:
+        b1 = clock()
+        b2 = clock()
+        if b1:
+            yield b2
+
+
+@dataclass(frozen=True)
+class PoseidonSpec:
+    field: F.FieldSpec
+    t: int
+    r_full: int
+    r_partial: int
+    round_constants: Tuple[Tuple[int, ...], ...]  # (n_rounds, t)
+    mds: Tuple[Tuple[int, ...], ...]              # (t, t)
+
+    @property
+    def n_rounds(self) -> int:
+        return self.r_full + self.r_partial
+
+
+@lru_cache(maxsize=None)
+def make_spec(field_name: str, t: int = 3, r_full: int = R_FULL,
+              r_partial: int = R_PARTIAL) -> PoseidonSpec:
+    field = F.FIELDS[field_name]
+    p = field.p
+    n_bits = p.bit_length()
+    bits = _grain_bits(n_bits, t, r_full, r_partial)
+
+    def sample_field():
+        while True:
+            v = 0
+            for _ in range(n_bits):
+                v = (v << 1) | next(bits)
+            if v < p:
+                return v
+
+    n_rounds = r_full + r_partial
+    rc = tuple(tuple(sample_field() for _ in range(t))
+               for _ in range(n_rounds))
+    xs = list(range(t))
+    ys = list(range(t, 2 * t))
+    mds = tuple(tuple(pow((x + y) % p, p - 2, p) for y in ys) for x in xs)
+    return PoseidonSpec(field, t, r_full, r_partial, rc, mds)
+
+
+# ---------------------------------------------------------------------------
+# Host oracle (exact ints).
+# ---------------------------------------------------------------------------
+
+
+def host_permute(spec: PoseidonSpec, state: Sequence[int]) -> List[int]:
+    p = spec.field.p
+    s = [v % p for v in state]
+    half = spec.r_full // 2
+    for rnd in range(spec.n_rounds):
+        s = [(v + c) % p for v, c in zip(s, spec.round_constants[rnd])]
+        is_full = rnd < half or rnd >= half + spec.r_partial
+        if is_full:
+            s = [pow(v, ALPHA, p) for v in s]
+        else:
+            s[0] = pow(s[0], ALPHA, p)
+        s = [sum(m * v for m, v in zip(row, s)) % p for row in spec.mds]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Batched JAX permutation (Montgomery-form limb state).
+# ---------------------------------------------------------------------------
+
+
+_DEV_CONST_CACHE = {}
+
+
+def _device_constants(spec: PoseidonSpec):
+    key = (spec.field.name, spec.t, spec.r_full, spec.r_partial)
+    if key in _DEV_CONST_CACHE:
+        return _DEV_CONST_CACHE[key]
+    fld = spec.field
+    r = fld.r_mod_p
+    rc = np.stack([
+        np.stack([F.int_to_limbs(c * r % fld.p) for c in row])
+        for row in spec.round_constants])                    # (R, t, L)
+    mds = np.stack([
+        np.stack([F.int_to_limbs(m * r % fld.p) for m in row])
+        for row in spec.mds])                                # (t, t, L)
+    half = spec.r_full // 2
+    full_mask = np.array(
+        [1 if (i < half or i >= half + spec.r_partial) else 0
+         for i in range(spec.n_rounds)], np.int32)
+    # Cache NUMPY arrays (jnp conversion inside a jit trace would leak
+    # tracers into the cache); jnp.asarray at use site is free.
+    out = (rc, mds, full_mask)
+    _DEV_CONST_CACHE[key] = out
+    return out
+
+
+def permute(spec: PoseidonSpec, state: jnp.ndarray) -> jnp.ndarray:
+    """state: (..., t, L) Montgomery limbs -> permuted state."""
+    fld = spec.field
+    rc_np, mds_np, mask_np = _device_constants(spec)
+    rc, mds, full_mask = (jnp.asarray(rc_np), jnp.asarray(mds_np),
+                          jnp.asarray(mask_np))
+
+    def sbox(x):
+        x2 = F.mont_mul(fld, x, x)
+        x4 = F.mont_mul(fld, x2, x2)
+        return F.mont_mul(fld, x4, x)
+
+    def round_fn(s, inputs):
+        rc_r, is_full = inputs
+        s = F.add(fld, s, rc_r)
+        sb = sbox(s)
+        # partial round: sbox only lane 0.
+        lane0 = jnp.arange(spec.t) == 0
+        keep = jnp.broadcast_to(is_full.astype(bool), s.shape[:-1]) | lane0
+        s = jnp.where(keep[..., None], sb, s)
+        # MDS: out_i = sum_j mds[i,j] * s_j.
+        prod = F.mont_mul(fld, mds, s[..., None, :, :])  # (..., t, t, L)
+        acc = prod[..., 0, :]
+        for j in range(1, spec.t):
+            acc = F.add(fld, acc, prod[..., j, :])
+        return acc, None
+
+    state, _ = jax.lax.scan(round_fn, state, (rc, full_mask))
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Sponge (rate t-1, capacity 1) — duplex for transcript use.
+# ---------------------------------------------------------------------------
+
+
+class HostSponge:
+    """Host-side sponge over exact ints; the transcript reference semantics.
+
+    Domain separation: initial state = [domain_tag, 0, 0] with domain_tag =
+    (label bytes interpreted LE) mod p. Absorb overwrites-adds into rate
+    lanes in pairs with a permute after each pair; squeeze returns rate lanes,
+    permuting between blocks."""
+
+    def __init__(self, spec: PoseidonSpec, domain_tag: int):
+        self.spec = spec
+        self.p = spec.field.p
+        self.state = [domain_tag % self.p] + [0] * (spec.t - 1)
+        self._absorbed = 0
+
+    def absorb(self, vals: Sequence[int]):
+        rate = self.spec.t - 1
+        for v in vals:
+            lane = 1 + (self._absorbed % rate)
+            self.state[lane] = (self.state[lane] + v) % self.p
+            self._absorbed += 1
+            if self._absorbed % rate == 0:
+                self.state = host_permute(self.spec, self.state)
+
+    def squeeze(self) -> int:
+        if self._absorbed % (self.spec.t - 1) != 0:
+            self.state = host_permute(self.spec, self.state)
+            self._absorbed = 0
+        self.state = host_permute(self.spec, self.state)
+        return self.state[1]

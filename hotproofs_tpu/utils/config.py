@@ -1,0 +1,44 @@
+"""Runtime configuration for the hotproofs_tpu stack.
+
+Centralises platform/caching knobs (the reference has no config system —
+SURVEY.md §5; paths and engines are hardcoded, main.rs:29-30). Import-order
+matters for some settings; call setup_jax() before heavy jax use.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+@dataclass
+class Config:
+    platform: str = os.environ.get("HOTPROOFS_PLATFORM", "")  # "" = default
+    cache_dir: str = os.environ.get(
+        "HOTPROOFS_CACHE", os.path.join(_REPO_ROOT, ".cache"))
+    compile_cache: bool = os.environ.get("HOTPROOFS_COMPILE_CACHE", "1") == "1"
+    curve: str = os.environ.get("HOTPROOFS_CURVE", "pallas")
+    log_level: str = os.environ.get("HOTPROOFS_LOG", "info")
+
+
+CONFIG = Config()
+
+
+def setup_jax(platform: str | None = None) -> None:
+    """Apply platform + persistent-compile-cache settings.
+
+    NOTE: in this environment a sitecustomize pins jax_platforms to the TPU
+    plugin; jax.config.update (not the env var) is the effective override."""
+    import jax
+
+    plat = platform or CONFIG.platform
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    if CONFIG.compile_cache:
+        cache = os.path.join(CONFIG.cache_dir, "xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,49 @@
+"""MSM vs exact host oracle (small sizes; large-N perf lives in bench.py)."""
+
+import random
+
+import jax.numpy as jnp
+import pytest
+
+from hotproofs_tpu.ops import curve as C
+from hotproofs_tpu.ops import field as F
+from hotproofs_tpu.ops import msm as M
+
+
+def _setup(spec, n, scalar_bits, seed):
+    rng = random.Random(seed)
+    gens = C.derive_generators(spec, b"msm-test", n)
+    scalars = [rng.randrange(1 << scalar_bits) % spec.scalar.p for _ in range(n)]
+    # include edge scalars
+    if n >= 3:
+        scalars[0] = 0
+        scalars[1] = 1
+    pts = C.pt_stack([C.pt_from_affine(spec, x, y) for x, y in gens])
+    limbs = jnp.asarray(spec.scalar.batch_to_limbs(scalars))
+    return scalars, gens, limbs, pts
+
+
+@pytest.mark.parametrize("n,bits", [(8, 40), (64, 40)])
+def test_small_scalar_msm(n, bits):
+    spec = C.PALLAS
+    scalars, gens, limbs, pts = _setup(spec, n, bits, seed=n)
+    fn = M.msm_jitted(spec, max_bits=bits)
+    got = C.pt_to_affine_host(spec, tuple(x[None] for x in fn(limbs, pts)))[0]
+    assert got == C.host_msm(spec, scalars, gens)
+
+
+def test_full_width_msm():
+    spec = C.PALLAS
+    scalars, gens, limbs, pts = _setup(spec, 16, 255, seed=3)
+    fn = M.msm_jitted(spec, max_bits=256)
+    got = C.pt_to_affine_host(spec, tuple(x[None] for x in fn(limbs, pts)))[0]
+    assert got == C.host_msm(spec, scalars, gens)
+
+
+def test_all_zero_scalars():
+    spec = C.PALLAS
+    _, gens, _, pts = _setup(spec, 8, 40, seed=9)
+    limbs = jnp.asarray(spec.scalar.batch_to_limbs([0] * 8))
+    fn = M.msm_jitted(spec, max_bits=40)
+    got = C.pt_to_affine_host(spec, tuple(x[None] for x in fn(limbs, pts)))[0]
+    assert got is None
