@@ -1,10 +1,12 @@
-"""Batched device witness generator vs the host DSL evaluator (bit-exact)."""
+"""Batched device witness generators vs the host DSL evaluator (bit-exact)."""
 
 import random
 
 import jax.numpy as jnp
 import numpy as np
 
+from hotproofs_tpu.core import blake3_ref as b3
+from hotproofs_tpu.circuits import blake3_nova as nova_circ
 from hotproofs_tpu.circuits import witness_jax as WJ
 from hotproofs_tpu.circuits.blake3_compression import (
     VESTA_PRIME, compression_witness, get_compression_circuit)
@@ -51,3 +53,58 @@ def test_batched_satisfies_r1cs_sample():
         jnp.asarray(np.array([3], np.uint32))))
     w = np.array([int(v) for v in got[0]], dtype=object)
     assert r1cs.is_satisfied(w)
+
+
+def test_nova_batched_matches_host_full_chain():
+    """Walk a real multi-step chain (leaf blocks + parents) and compare every
+    step's batched witness against the host evaluator, patching the three
+    inverse-hint positions."""
+    data = bytes(range(200)) * 12  # 2400 bytes -> 3 chunks
+    proof = b3.hash_with_path(data, 2)
+    sched = nova_circ.build_schedule(proof)
+    modulus = VESTA_PRIME
+
+    big_pos = WJ.nova_big_positions(modulus)
+    gen = WJ.jitted_nova_generator(0)
+
+    z = [v % modulus for v in sched.z0]
+    for step in sched.steps:
+        w_host, z_out = nova_circ.eval_step_witness(z, step, modulus)
+        got = np.asarray(gen(
+            jnp.asarray(np.array([z], np.uint32)),
+            jnp.asarray(np.array([step.m], np.uint32)),
+            jnp.asarray(np.array([step.b], np.uint32)),
+            jnp.asarray(np.array([step.down_left], np.uint32))))[0]
+        expected = np.array([int(v) for v in w_host], dtype=object)
+        patched = got.astype(np.uint64).astype(object)
+        invs = WJ.nova_inverse_values(z[11], z[1], z[0], modulus)
+        for pos, val in zip(big_pos, invs):
+            patched[pos] = val
+        mism = [i for i in range(len(expected))
+                if patched[i] != expected[i]]
+        assert not mism, f"mismatch at signals {mism[:10]}"
+        z = z_out
+
+
+def test_nova_batched_batching_axis():
+    """Batch two different steps in one call; each row must match its own
+    single-row result."""
+    data = bytes(1028)
+    proof = b3.hash_with_path(data, 0)
+    sched = nova_circ.build_schedule(proof)
+    modulus = VESTA_PRIME
+    z0 = [v % modulus for v in sched.z0]
+    _, z1 = nova_circ.eval_step_witness(z0, sched.steps[0], modulus)
+
+    gen = WJ.jitted_nova_generator(0)
+    zs = np.array([z0, z1], np.uint32)
+    ms = np.array([sched.steps[0].m, sched.steps[1].m], np.uint32)
+    bs = np.array([sched.steps[0].b, sched.steps[1].b], np.uint32)
+    dls = np.array([1, 1], np.uint32)
+    both = np.asarray(gen(jnp.asarray(zs), jnp.asarray(ms),
+                          jnp.asarray(bs), jnp.asarray(dls)))
+    for row in range(2):
+        single = np.asarray(gen(
+            jnp.asarray(zs[row: row + 1]), jnp.asarray(ms[row: row + 1]),
+            jnp.asarray(bs[row: row + 1]), jnp.asarray(dls[row: row + 1])))
+        assert np.array_equal(both[row], single[0])
