@@ -259,3 +259,48 @@ def run_chain(proof: HashProof, modulus: int = VESTA_PRIME):
         w, z = eval_step_witness(z, step, modulus)
         witnesses.append(w)
     return z, witnesses, sched
+
+
+def z_chain(proof: HashProof, modulus: int = VESTA_PRIME):
+    """All public states [z_0 .. z_num_steps] of a chunk proof, host-side.
+
+    The z evolution depends only on the hash chain (not on folds), so the
+    whole chain is precomputable and every step witness can be generated in
+    one batched device call (witness_jax.batched_nova_witness) — the
+    structural parallelism the reference's sequential loop cannot express
+    (rust_fold/src/main.rs:166-179)."""
+    sched = build_schedule(proof)
+    zs = [[v % modulus for v in sched.z0]]
+    z = list(zs[0])
+    for step in sched.steps:
+        n_blocks, block_count = z[0], z[1]
+        h = z[2:10]
+        depth, leaf_depth = z[11], z[14]
+        is_root = 1 if depth == 0 else 0
+        is_parent = 1 if depth < leaf_depth - 1 else 0
+        eq_last = 1 if block_count == n_blocks - 1 else 0
+        d = 0
+        if not is_parent:
+            if block_count == 0:
+                d |= b3.CHUNK_START
+            if eq_last:
+                d |= b3.CHUNK_END
+        if is_parent:
+            d |= b3.PARENT
+        if is_root and (is_parent or eq_last):
+            d |= b3.ROOT
+        if is_parent:
+            dl = step.down_left
+            left = h if dl else step.m[:8]
+            right = step.m[:8] if dl else h
+            h_new = b3.compress(list(b3.IV), list(left) + list(right),
+                                0, 64, d)[:8]
+        else:
+            t = (z[13] << 32) | z[12]
+            h_new = b3.compress(h, step.m, t, step.b, d)[:8]
+        is_last_block = eq_last * (1 - is_parent)
+        decr = (is_last_block + is_parent) * (1 - is_root)
+        z = [n_blocks, block_count + (1 - is_parent)] + list(h_new) + [
+            z[10], depth - decr, z[12], z[13], leaf_depth]
+        zs.append(z)
+    return zs, sched

@@ -92,9 +92,66 @@ class ChunkProver:
         self.ivc, self.layout, self.modulus = _build_stack(curve)
 
     # ------------------------------------------------------------------
-    def prove(self, data: bytes, chunk_idx: int,
-              progress: bool = False) -> Tuple[bytes, ChunkProof]:
+    def prove(self, data: bytes, chunk_idx: int, progress: bool = False,
+              fast: bool = True) -> Tuple[bytes, ChunkProof]:
         proof_data = b3.hash_with_path(data, chunk_idx)
+        if fast:
+            sched, ivc_proof = self._prove_fast(proof_data, progress)
+        else:
+            sched, ivc_proof = self._prove_host(proof_data, progress)
+        chunk_proof = ChunkProof(
+            ivc_proof=ivc_proof,
+            chunk_idx=chunk_idx,
+            n_blocks=sched.n_blocks,
+            leaf_depth=sched.leaf_depth,
+            total_depth=proof_data.total_depth,
+        )
+        return proof_data.root_hash, chunk_proof
+
+    def _prove_fast(self, proof_data, progress: bool):
+        """Batched device pipeline: all step witnesses in ONE kernel call
+        (z chain precomputed host-side from the hash chain), batched SpMVs
+        and W-commits, then the sequential fold loop."""
+        import jax.numpy as jnp
+        from ..circuits import witness_jax as WJ
+
+        zs, sched = nova_circ.z_chain(proof_data, self.modulus)
+        n = len(sched.steps)
+        z_b = np.array(zs[:-1], np.uint32)
+        m_b = np.array([s.m for s in sched.steps], np.uint32)
+        b_b = np.array([s.b for s in sched.steps], np.uint32)
+        dl_b = np.array([s.down_left for s in sched.steps], np.uint32)
+        w_u32 = WJ.jitted_nova_generator(0)(
+            jnp.asarray(z_b), jnp.asarray(m_b), jnp.asarray(b_b),
+            jnp.asarray(dl_b))                       # (N, n_signals) u32
+
+        # Expand uint32 signals to canonical limb vectors on device.
+        from ..ops import field as F
+        limbs = jnp.stack(
+            [(w_u32 >> jnp.uint32(8 * l)) & jnp.uint32(0xFF)
+             for l in range(4)], axis=-1).astype(jnp.int32)
+        canon = jnp.concatenate(
+            [limbs, jnp.zeros(w_u32.shape + (F.N_LIMBS - 4,), jnp.int32)],
+            axis=-1)
+        # Patch the three full-width inverse hints per step.
+        big_pos = WJ.nova_big_positions(self.modulus)
+        spec = self.ivc.shape.field
+        inv_limbs = np.zeros((n, 3, F.N_LIMBS), np.int32)
+        for i, z in enumerate(zs[:-1]):
+            for j, v in enumerate(WJ.nova_inverse_values(
+                    z[11], z[1], z[0], self.modulus)):
+                inv_limbs[i, j] = F.int_to_limbs(v)
+        canon = canon.at[:, jnp.asarray(big_pos), :].set(
+            jnp.asarray(inv_limbs))
+
+        X_host = [list(zs[i + 1]) + list(zs[i]) for i in range(n)]
+        proof = self.ivc.prove_batch(sched.z0, canon, X_host,
+                                     progress=progress)
+        return sched, proof
+
+    def _prove_host(self, proof_data, progress: bool):
+        """Reference-style per-step host witness path (kept for
+        cross-checking the batched pipeline)."""
         sched = nova_circ.build_schedule(proof_data)
         z = [v % self.modulus for v in sched.z0]
 
@@ -105,16 +162,8 @@ class ChunkProver:
                 z = z_out
                 yield w
 
-        ivc_proof = self.ivc.prove(sched.z0, witness_iter(),
-                                   progress=progress)
-        chunk_proof = ChunkProof(
-            ivc_proof=ivc_proof,
-            chunk_idx=chunk_idx,
-            n_blocks=sched.n_blocks,
-            leaf_depth=sched.leaf_depth,
-            total_depth=proof_data.total_depth,
-        )
-        return proof_data.root_hash, chunk_proof
+        return sched, self.ivc.prove(sched.z0, witness_iter(),
+                                     progress=progress)
 
     # ------------------------------------------------------------------
     def verify(self, proof: ChunkProof,

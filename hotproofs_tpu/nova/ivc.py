@@ -187,6 +187,112 @@ class IVC:
                         final_W=final_W, final_E=final_E,
                         pp_digest=self.pp_digest)
 
+    # -- batched fast path --------------------------------------------------
+    def prove_batch(self, z0: Sequence[int], canon_batch,
+                    X_host: List[List[int]], chunk_steps: int = 16,
+                    progress: bool = False) -> IVCProof:
+        """Fold a chain whose witnesses are already device-resident.
+
+        canon_batch: (N, n_vars, 32) canonical limb array (e.g. from the
+        batched witness generator); X_host: per-step public IO as ints.
+        Phases per chunk of steps: batched to-Montgomery + batched SpMVs +
+        batched W-commits (all independent of the fold), then the sequential
+        fold loop touches only precomputed tensors + one comm_T MSM per step.
+        """
+        import jax
+
+        shape, spec, curve = self.shape, self.shape.field, self.curve
+        n_io = shape.n_io
+        n_steps = canon_batch.shape[0]
+        acc_dev, acc_inst = NF.empty_accumulator(shape)
+        tr = Transcript(spec.name + "", self.label, self.pp_digest)
+        tr.absorb_scalars([v % spec.p for v in z0])
+
+        to_mont_j = F.jitted("to_mont", spec)
+        from_mont_j = F.jitted("from_mont", spec)
+        cross_j = self._jit(
+            "cross", lambda acc, az, bz, cz, u: NF.cross_term(
+                spec, acc, az, bz, cz, u))
+        foldw_j = self._jit(
+            "foldw", lambda acc, W2, az, bz, cz, T, r: NF.fold_witness(
+                spec, acc, W2, az, bz, cz, T, r))
+        matvec_b = self._jit(
+            "matvec_batch", jax.vmap(lambda z: matvec_all(shape, z)))
+        if self.big_wit_idx is None:
+            commit_b = self._jit(
+                "commitW_batch",
+                jax.vmap(lambda w: self.ck.commit(w, max_bits=256)))
+        else:
+            big = jnp.asarray(self.big_wit_idx.astype(np.int32))
+            pts = tuple(p[:shape.n_wit] for p in self.ck.points)
+
+            def one_commit(w):
+                from ..ops import msm as M
+                from .pedersen import SMALL_BITS
+                small = w.at[big].set(0)
+                acc = M.msm(self.curve, small, pts, max_bits=SMALL_BITS)
+                big_pts = tuple(p[big] for p in pts)
+                return C.pt_add(self.curve, acc,
+                                M.msm(self.curve, w[big], big_pts,
+                                      max_bits=256))
+
+            commit_b = self._jit("commitW_batch_split", jax.vmap(one_commit))
+
+        steps: List[StepClaim] = []
+        comm_Ts: List[Affine] = []
+        done = 0
+        while done < n_steps:
+            take = min(chunk_steps, n_steps - done)
+            sl = canon_batch[done: done + take]
+            if take < chunk_steps:  # pad to the jitted chunk shape
+                pad = jnp.zeros((chunk_steps - take,) + sl.shape[1:],
+                                sl.dtype)
+                sl = jnp.concatenate([sl, pad], axis=0)
+            z_mont = to_mont_j(sl)
+            az_b, bz_b, cz_b = matvec_b(z_mont)
+            comm_W_b = commit_b(sl[:, 1 + n_io:, :])
+            comm_W_aff = C.pt_to_affine_host(curve, comm_W_b)
+
+            for k in range(take):
+                i = done + k
+                X_i = [v % spec.p for v in X_host[i]]
+                az, bz, cz = az_b[k], bz_b[k], cz_b[k]
+                comm_W = comm_W_aff[k]
+
+                u_mont = self._scalar_mont(acc_inst.u)
+                T = cross_j(acc_dev, az, bz, cz, u_mont)
+                comm_T_dev = self.ck.commit(from_mont_j(T), max_bits=256)
+                comm_T = C.pt_to_affine_host(
+                    curve, tuple(x[None] for x in comm_T_dev))[0]
+
+                tr.absorb_scalar(acc_inst.u)
+                tr.absorb_scalars(acc_inst.X)
+                tr.absorb_point(acc_inst.comm_W)
+                tr.absorb_point(acc_inst.comm_E)
+                tr.absorb_scalars(X_i)
+                tr.absorb_point(comm_W)
+                tr.absorb_point(comm_T)
+                r = tr.challenge()
+
+                r_mont = self._scalar_mont(r)
+                acc_dev = foldw_j(acc_dev, z_mont[k, 1 + n_io:],
+                                  az, bz, cz, T, r_mont)
+                acc_inst = NF.fold_instance(spec, curve, acc_inst, X_i,
+                                            comm_W, comm_T, r)
+                steps.append(StepClaim(X=X_i, comm_W=comm_W))
+                comm_Ts.append(comm_T)
+            done += take
+            if progress:
+                print(f"folded {done}/{n_steps} steps")
+
+        final_W = [int(v) for v in spec.limbs_to_ints(
+            np.asarray(from_mont_j(acc_dev.W)))]
+        final_E = [int(v) for v in spec.limbs_to_ints(
+            np.asarray(from_mont_j(acc_dev.E)))]
+        return IVCProof(z0=list(z0), steps=steps, comm_Ts=comm_Ts,
+                        final_W=final_W, final_E=final_E,
+                        pp_digest=self.pp_digest)
+
     # -- verification -------------------------------------------------------
     def verify(self, proof: IVCProof, io_arity: int) -> List[int]:
         """Full verification; returns z_final on success, raises on failure.
