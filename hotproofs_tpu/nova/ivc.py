@@ -223,12 +223,12 @@ class IVC:
                 "commitW_batch",
                 jax.vmap(lambda w: self.ck.commit(w, max_bits=256)))
         else:
+            from ..ops import msm as M
+            from .pedersen import SMALL_BITS
             big = jnp.asarray(self.big_wit_idx.astype(np.int32))
             pts = tuple(p[:shape.n_wit] for p in self.ck.points)
 
             def one_commit(w):
-                from ..ops import msm as M
-                from .pedersen import SMALL_BITS
                 small = w.at[big].set(0)
                 acc = M.msm(self.curve, small, pts, max_bits=SMALL_BITS)
                 big_pts = tuple(p[big] for p in pts)

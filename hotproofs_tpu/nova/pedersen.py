@@ -55,6 +55,16 @@ class CommitmentKey:
 
     def __post_init__(self):
         self._jit_cache = {}
+        self._scaled = None  # (W=32, n, limbs) per coordinate, lazy
+
+    def _scaled_points(self) -> C.Point:
+        """Pre-scaled generators 256^w * G_j for the fixed-base MSM path
+        (computed once on device; the bases of a commitment key never
+        change, so every window's Horner weighting is baked in)."""
+        if self._scaled is None:
+            f = jax.jit(lambda p: M.scale_generators(self.spec, p, 32))
+            self._scaled = jax.tree_util.tree_map(lambda x: x, f(self.points))
+        return self._scaled
 
     @staticmethod
     def create(spec: C.CurveSpec, label: bytes, n: int) -> "CommitmentKey":

@@ -92,25 +92,56 @@ def _bucket_weighted_sum(spec: C.CurveSpec, digits: jnp.ndarray,
     buckets = tuple(bk.at[lanes, slot].set(rv)
                     for bk, rv in zip(buckets, run))
 
-    # Merge per-chunk buckets: sequential scan over chunks, 257-wide adds.
-    def merge(acc, chunk):
-        return C.pt_add(spec, acc, chunk), None
+    # Merge per-chunk buckets: unrolled pairwise tree over the chunk axis
+    # (log2(C) wide launches instead of a C-iteration scan).
+    cur = buckets
+    width = n_chunks
+    while width > 1:
+        half = width // 2
+        top = tuple(x[..., :half, :, :] for x in cur)
+        bot = tuple(x[..., half: 2 * half, :, :] for x in cur)
+        summed = C.pt_add(spec, top, bot)
+        if width % 2:
+            summed = tuple(
+                jnp.concatenate([s, x[..., 2 * half: width, :, :]],
+                                axis=-3)
+                for s, x in zip(summed, cur))
+            width = half + 1
+        else:
+            width = half
+        cur = summed
+    bk = tuple(x[..., 0, :DUMP, :] for x in cur)  # (256, limbs)
+    return _weighted_bucket_sum(spec, bk)
 
-    acc0 = C.identity_for(spec, (DUMP + 1,))
-    merged, _ = jax.lax.scan(merge, acc0, buckets)
-    bk = tuple(x[:DUMP] for x in merged)  # (256, limbs)
 
-    # S = Σ_{v=1..255} v·B_v via T += B_v; S += T, v descending.
-    def wsum(carry, bv):
-        t, s = carry
-        t = C.pt_add(spec, t, bv)
-        s = C.pt_add(spec, s, t)
-        return (t, s), None
+def _weighted_bucket_sum(spec: C.CurveSpec, bk: C.Point) -> C.Point:
+    """S = Σ_v v·B_v over 256 buckets via bit decomposition of v:
+    S = Σ_{k<8} 2^k · (Σ_{v: bit k set} B_v). The masked sums run as ONE
+    8-way-batched unrolled pairwise tree (8 wide launches) instead of a
+    255-iteration sequential scan — sequential-launch count is what bounds
+    MSM time on TPU, not arithmetic (measured ~2ms per while-loop step
+    regardless of width)."""
+    vbits = ((jnp.arange(DUMP)[None, :] >> jnp.arange(8)[:, None]) & 1)
+    ident = C.identity_for(spec, (DUMP,))
+    cur = tuple(jnp.where(vbits[..., None].astype(bool), x[None],
+                          id_c[None])
+                for x, id_c in zip(bk, ident))      # (8, 256, limbs)
+    width = DUMP
+    while width > 1:
+        half = width // 2
+        top = tuple(x[..., :half, :] for x in cur)
+        bot = tuple(x[..., half: 2 * half, :] for x in cur)
+        cur = C.pt_add(spec, top, bot)
+        width = half
+    mk = tuple(x[..., 0, :] for x in cur)           # (8, limbs)
 
-    rev = tuple(x[1:][::-1] for x in bk)  # v = 255..1
-    (t, s), _ = jax.lax.scan(wsum, (C.identity_for(spec),
-                                    C.identity_for(spec)), rev)
-    return s
+    def horner_bit(acc, p_k):
+        acc = C.pt_double(spec, acc)
+        return C.pt_add(spec, acc, p_k), None
+
+    rev = tuple(x[::-1] for x in mk)
+    acc, _ = jax.lax.scan(horner_bit, C.identity_for(spec), rev)
+    return acc
 
 
 def msm(spec: C.CurveSpec, scalar_limbs: jnp.ndarray, points: C.Point,
@@ -145,3 +176,131 @@ def msm(spec: C.CurveSpec, scalar_limbs: jnp.ndarray, points: C.Point,
 
 def msm_jitted(spec: C.CurveSpec, max_bits: int = 256):
     return jax.jit(lambda s, p: msm(spec, s, p, max_bits=max_bits))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base MSM: the commitment-key bases never change, so each radix-256
+# window's 256^w weighting is folded into precomputed scaled generators
+# 256^w * G_j. The whole multi-window MSM becomes ONE flat single-window
+# bucket problem over W*N (point, digit) pairs — no Horner doublings, no
+# per-window phase. Sequential structure is engineered for TPU launch
+# overhead (~ms per XLA while-loop step regardless of width): a wide bucket
+# scan (few dozen iterations), an unrolled pairwise merge tree over chunks,
+# and a bit-decomposed bucket weighting (8 masked tree-sums).
+# ---------------------------------------------------------------------------
+
+
+def scale_generators(spec: C.CurveSpec, points: C.Point,
+                     n_windows: int) -> C.Point:
+    """Device precompute of (W, N, ...) scaled generators: 256^w * G_j."""
+    def next_window(p, _):
+        def dbl(q, __):
+            return C.pt_double(spec, q), None
+        p8, _ = jax.lax.scan(dbl, p, None, length=F.LIMB_BITS)
+        return p8, p
+
+    _, stacked = jax.lax.scan(next_window, points, None, length=n_windows)
+    return stacked  # (W, N, limbs) per coordinate
+
+
+def msm_fixed(spec: C.CurveSpec, scalar_limbs: jnp.ndarray,
+              scaled_pts: C.Point, n_windows: int,
+              n_chunks: int = 2048) -> C.Point:
+    """MSM with pre-scaled generators. scalar_limbs (N, 32); scaled_pts
+    (W, N, ...) with W >= n_windows.
+
+    STATUS (measured on TPU v5e, N=16k, 32 windows): correct, but NOT faster
+    than `msm` yet — the dense per-chunk bucket buffer (C, 257, limbs) makes
+    the scatter phase memory-bound (n_chunks=4096 ran 3.6x slower than the
+    default path; 8192 OOMs from tiling padding). Keep default commits on
+    `msm`; revisit with a radix-2^4 variant (17-slot buckets, 15x smaller
+    buffers) or a Pallas bucket kernel. See docs/ROADMAP.md."""
+    n = scalar_limbs.shape[0]
+    digits = jnp.moveaxis(scalar_limbs[..., :n_windows], -1, 0)  # (W, N)
+    flat_d = digits.reshape(n_windows * n)
+    flat_p = tuple(x[:n_windows].reshape(n_windows * n, F.N_LIMBS)
+                   for x in scaled_pts)
+
+    total = n_windows * n
+    n_chunks = max(1, min(n_chunks, total))
+    b = -(-total // n_chunks)
+    pad = n_chunks * b - total
+
+    order = jnp.argsort(flat_d)
+    d_sorted = jnp.concatenate(
+        [flat_d[order], jnp.full((pad,), DUMP, jnp.int32)])
+    identity_pad = C.identity_for(spec, (pad,))
+    p_sorted = tuple(jnp.concatenate([x[order], ip], axis=0)
+                     for x, ip in zip(flat_p, identity_pad))
+
+    d_cb = d_sorted.reshape(n_chunks, b)
+    p_cb = tuple(x.reshape(n_chunks, b, F.N_LIMBS) for x in p_sorted)
+
+    lanes = jnp.arange(n_chunks)
+    buckets0 = C.identity_for(spec, (n_chunks, DUMP + 1))
+    run0 = C.identity_for(spec, (n_chunks,))
+    dig0 = jnp.full((n_chunks,), -1, jnp.int32)
+
+    def step(carry, inp):
+        run, run_dig, buckets = carry
+        cur_pt, cur_dig = inp
+        same = cur_dig == run_dig
+        slot = jnp.where(same | (run_dig < 0), DUMP, run_dig)
+        buckets = tuple(bk.at[lanes, slot].set(rv)
+                        for bk, rv in zip(buckets, run))
+        merged = C.pt_add(spec, run, cur_pt)
+        run = C.pt_select(same, merged, cur_pt)
+        return (run, cur_dig, buckets), None
+
+    xs = (tuple(jnp.moveaxis(x, 0, 1) for x in p_cb),
+          jnp.moveaxis(d_cb, 0, 1))
+    (run, run_dig, buckets), _ = jax.lax.scan(
+        step, (run0, dig0, buckets0), xs)
+    slot = jnp.where(run_dig < 0, DUMP, run_dig)
+    buckets = tuple(bk.at[lanes, slot].set(rv)
+                    for bk, rv in zip(buckets, run))
+
+    # Pairwise merge tree over the chunk axis (unrolled log2 rounds; each
+    # round is ONE wide pt_add launch).
+    cur = buckets
+    width = n_chunks
+    while width > 1:
+        half = width // 2
+        top = tuple(x[:half] for x in cur)
+        bot = tuple(x[half: 2 * half] for x in cur)
+        summed = C.pt_add(spec, top, bot)
+        if width % 2:
+            summed = tuple(jnp.concatenate([s, x[2 * half: width]], axis=0)
+                           for s, x in zip(summed, cur))
+            width = half + 1
+        else:
+            width = half
+        cur = summed
+    bk = tuple(x[0, :DUMP] for x in cur)  # (256, limbs)
+
+    # Weighted sum via bit decomposition of the bucket value: S = sum_k 2^k *
+    # (sum of buckets whose index has bit k) — 8 masked tree-sums, batched
+    # over k, then an 8-step Horner.
+    vbits = ((jnp.arange(DUMP)[None, :] >> jnp.arange(8)[:, None]) & 1)
+    ident = C.identity_for(spec, (DUMP,))
+    masked = tuple(jnp.where(vbits[..., None].astype(bool),
+                             x[None], id_c[None])
+                   for x, id_c in zip(bk, ident))
+    # masked: (8, 256, limbs). Tree-reduce over the bucket axis.
+    cur = masked
+    width = DUMP
+    while width > 1:
+        half = width // 2
+        top = tuple(x[:, :half] for x in cur)
+        bot = tuple(x[:, half: 2 * half] for x in cur)
+        cur = C.pt_add(spec, top, bot)
+        width = half
+    mk = tuple(x[:, 0] for x in cur)  # (8, limbs)
+
+    def horner_bit(acc, p_k):
+        acc = C.pt_double(spec, acc)
+        return C.pt_add(spec, acc, p_k), None
+
+    rev = tuple(x[::-1] for x in mk)
+    acc, _ = jax.lax.scan(horner_bit, C.identity_for(spec), rev)
+    return acc

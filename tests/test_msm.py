@@ -47,3 +47,23 @@ def test_all_zero_scalars():
     fn = M.msm_jitted(spec, max_bits=40)
     got = C.pt_to_affine_host(spec, tuple(x[None] for x in fn(limbs, pts)))[0]
     assert got is None
+
+
+def test_fixed_base_msm():
+    spec = C.PALLAS
+    scalars, gens, limbs, pts = _setup(spec, 16, 255, seed=13)
+    import jax
+    scaled = jax.jit(lambda p: M.scale_generators(spec, p, 32))(pts)
+    fn = jax.jit(lambda s: M.msm_fixed(spec, s, scaled, 32, n_chunks=32))
+    got = C.pt_to_affine_host(spec, tuple(x[None] for x in fn(limbs)))[0]
+    assert got == C.host_msm(spec, scalars, gens)
+
+
+def test_fixed_base_small_windows():
+    spec = C.PALLAS
+    scalars, gens, limbs, pts = _setup(spec, 8, 40, seed=21)
+    import jax
+    scaled = jax.jit(lambda p: M.scale_generators(spec, p, 5))(pts)
+    fn = jax.jit(lambda s: M.msm_fixed(spec, s, scaled, 5, n_chunks=8))
+    got = C.pt_to_affine_host(spec, tuple(x[None] for x in fn(limbs)))[0]
+    assert got == C.host_msm(spec, scalars, gens)
