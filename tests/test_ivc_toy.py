@@ -71,6 +71,7 @@ def test_toy_ivc_rejects_tampered_io(ivc):
         ivc_obj.verify(proof, io_arity=1)
 
 
+@pytest.mark.slow
 def test_toy_ivc_rejects_tampered_witness(ivc):
     ivc_obj, r1cs, layout = ivc
     z0 = 4
@@ -81,6 +82,7 @@ def test_toy_ivc_rejects_tampered_witness(ivc):
         ivc_obj.verify(proof, io_arity=1)
 
 
+@pytest.mark.slow
 def test_toy_ivc_rejects_broken_chain(ivc):
     ivc_obj, r1cs, layout = ivc
     p = VESTA_PRIME
@@ -91,6 +93,7 @@ def test_toy_ivc_rejects_broken_chain(ivc):
         ivc_obj.verify(proof, io_arity=1)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, ivc):
     ivc_obj, r1cs, layout = ivc
     wits, z_exp = _witness_chain(layout, 9, 2, VESTA_PRIME)
