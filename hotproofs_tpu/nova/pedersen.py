@@ -55,16 +55,30 @@ class CommitmentKey:
 
     def __post_init__(self):
         self._jit_cache = {}
-        self._scaled = None  # (W=32, n, limbs) per coordinate, lazy
+        self._scaled = {}  # (m, windows) -> (W4, m, limbs) per coordinate
 
-    def _scaled_points(self) -> C.Point:
-        """Pre-scaled generators 256^w * G_j for the fixed-base MSM path
-        (computed once on device; the bases of a commitment key never
-        change, so every window's Horner weighting is baked in)."""
-        if self._scaled is None:
-            f = jax.jit(lambda p: M.scale_generators(self.spec, p, 32))
-            self._scaled = jax.tree_util.tree_map(lambda x: x, f(self.points))
-        return self._scaled
+    def scaled(self, m: int, max_bits: int) -> C.Point:
+        """Pre-scaled generators 16^w * G_j for the first m points — the
+        fixed-base fast path: the bases of a commitment key never change,
+        so the ~4*W4-step scaling scan runs once per (m, window-count) and
+        every subsequent commit skips it entirely (ops/msm.py design)."""
+        w4 = M.n_windows4(max_bits)
+        # Reuse a superset if present (msm slices the window prefix; the
+        # point prefix is sliced here) — scaling 64 windows of the full key
+        # is ~256 sequential doubling steps, never pay it twice.
+        for (mm, ww), pts in self._scaled.items():
+            if mm >= m and ww >= w4:
+                if mm == m:
+                    return pts
+                return tuple(x[:, :m] for x in pts)
+        key = ("scale", m, w4)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p: M.scale_points16(self.spec, p, w4))
+        pts = tuple(p[:m] for p in self.points)
+        scaled = self._jit_cache[key](pts)
+        self._scaled[(m, w4)] = scaled
+        return scaled
 
     @staticmethod
     def create(spec: C.CurveSpec, label: bytes, n: int) -> "CommitmentKey":
@@ -75,6 +89,36 @@ class CommitmentKey:
                              (n, F.N_LIMBS))
         return CommitmentKey(spec, n, (x, y, z), limbs)
 
+    def commit_fn(self, m: int, max_bits: int = 256):
+        """Pure commit function fn(scalars, scaled) for m scalars —
+        composable under vmap/jit. The pre-scaled generator array is a
+        RUNTIME ARGUMENT, never a closure: closure capture bakes it into
+        the program as a constant (hundreds of MB at full width), which
+        blows up serialized-HLO size (this environment's remote-compile
+        relay rejects such programs outright)."""
+        return lambda s, scaled: M.msm(self.spec, s, None,
+                                       max_bits=max_bits, scaled=scaled)
+
+    def commit_split_fn(self, m: int, big_idx: np.ndarray):
+        """Pure split-commit fn(scalars, scaled_small): positions in
+        big_idx full-width (tiny scale-on-the-fly MSM), the rest with
+        SMALL_BITS windows against the pre-scaled argument."""
+        pts = tuple(p[:m] for p in self.points)
+        big = jnp.asarray(big_idx.astype(np.int32))
+        big_pts = tuple(p[big] for p in pts) if len(big_idx) else None
+
+        def fn(s, scaled_small):
+            small = s.at[big].set(0) if len(big_idx) else s
+            acc = M.msm(self.spec, small, None, max_bits=SMALL_BITS,
+                        scaled=scaled_small)
+            if len(big_idx):
+                acc = C.pt_add(self.spec, acc,
+                               M.msm(self.spec, s[big], big_pts,
+                                     max_bits=256))
+            return acc
+
+        return fn
+
     def commit(self, scalars_canon: jnp.ndarray,
                max_bits: int = 256) -> C.Point:
         """Commit to a vector of canonical-digit scalars (m, 32), m <= n.
@@ -82,10 +126,8 @@ class CommitmentKey:
         m = scalars_canon.shape[0]
         key = ("plain", m, max_bits)
         if key not in self._jit_cache:
-            pts = tuple(p[:m] for p in self.points)
-            self._jit_cache[key] = jax.jit(
-                lambda s: M.msm(self.spec, s, pts, max_bits=max_bits))
-        return self._jit_cache[key](scalars_canon)
+            self._jit_cache[key] = jax.jit(self.commit_fn(m, max_bits))
+        return self._jit_cache[key](scalars_canon, self.scaled(m, max_bits))
 
     def commit_split(self, scalars_canon: jnp.ndarray,
                      big_idx: np.ndarray) -> C.Point:
@@ -94,18 +136,6 @@ class CommitmentKey:
         m = scalars_canon.shape[0]
         key = ("split", m, len(big_idx))
         if key not in self._jit_cache:
-            pts = tuple(p[:m] for p in self.points)
-            big = jnp.asarray(big_idx.astype(np.int32))
-
-            def fn(s):
-                small = s.at[big].set(0) if len(big_idx) else s
-                acc = M.msm(self.spec, small, pts, max_bits=SMALL_BITS)
-                if len(big_idx):
-                    big_pts = tuple(p[big] for p in pts)
-                    acc = C.pt_add(self.spec, acc,
-                                   M.msm(self.spec, s[big], big_pts,
-                                         max_bits=256))
-                return acc
-
-            self._jit_cache[key] = jax.jit(fn)
-        return self._jit_cache[key](scalars_canon)
+            self._jit_cache[key] = jax.jit(self.commit_split_fn(m, big_idx))
+        return self._jit_cache[key](scalars_canon,
+                                    self.scaled(m, SMALL_BITS))

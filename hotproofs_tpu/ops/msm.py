@@ -1,31 +1,38 @@
-"""Multi-scalar multiplication (Pippenger) for TPU.
+"""Multi-scalar multiplication (Pippenger) for TPU — radix-16 flat design.
 
 TPU-native replacement for the MSMs inside arecibo's Pedersen commitments
 (witness W and cross-term T commits in RecursiveSNARK::prove_step — SURVEY.md
 §3.2). The reference runs rayon-parallel CPU Pippenger; a TPU has no
 efficient per-element scatter loops, so the bucket phase is reformulated as
-sort + blocked running-segment reduction, engineered for XLA's compilation
-model: every curve-add "combine" is instantiated exactly ONCE inside a
-lax.scan body (an associative_scan would inline the ~6k-op complete-addition
-graph O(log N) times and blow compile time up by two orders of magnitude).
+per-window sort + blocked running-segment reduction.
 
-Pipeline per radix-2^8 window (digits ARE the base-2^8 scalar limbs):
-  1. sort point indices by digit (argsort + gather)
-  2. reshape into C parallel chunks x B positions; lax.scan down B with a
-     running (segment value, segment digit) carry per chunk; on digit change
-     flush the finished segment into a per-chunk bucket slot (one masked
-     scatter per step — slot 256 is a dump for non-flushing lanes)
-  3. merge the C per-chunk bucket arrays (scan, 256-wide adds)
-  4. weighted sum  S = Σ v·B_v  via one scan v=255..1 with carry (T, S):
-     T += B_v; S += T
-Windows run inside an outer lax.scan (MSB-first) with the Horner step (8
-doublings + add) fused into the body, so the full MSM graph stays ~25k ops
-regardless of N. Work is O(N + 2^c) curve adds per window — the Pippenger
-optimum — all batched C-wide (C=64 lanes by default).
+Design rules learned from round-1 measurements (docs/ROADMAP.md):
+  * XLA while-loop steps cost ~1-2 ms EACH on TPU regardless of width, so
+    the graph must minimise SEQUENTIAL steps, not arithmetic.
+  * Python tracing + XLA compile time scale with the number of times the
+    ~2-3k-op curve-add graph is INSTANTIATED, so every reduction phase is a
+    lax.scan whose body instantiates the combine exactly once (round 1's
+    unrolled pairwise trees instantiated it ~20x: a single full-width MSM
+    cost 62 s trace + 178 s compile on CPU).
 
-Scalars with known small bit-width (witness vectors are mostly bits/u32
-words) use fewer windows via max_bits — a ~6x saving the reference cannot
-express.
+Pipeline (radix-2^4 digits, all windows processed in ONE flat bucket pass):
+  1. pre-scale points: scaled[w] = 16^w * P  (one scan; for commitment keys
+     the bases never change, so pedersen.py caches this per key and the
+     ~256-step scaling scan disappears from the hot path entirely)
+  2. per-window argsort of the 4-bit digits (vmapped over windows)
+  3. reshape each window into lanes of B positions (lanes never span
+     windows, so each digit has exactly one run per lane); ONE lax.scan of
+     length B accumulates running segments into 17-slot buckets per lane
+  4. lane merge: ONE lax.scan of log2(C) fixed-width halving steps
+  5. weighted sum  S = sum_v v*B_v  over 15 buckets: ONE 15-step suffix
+     scan (T += B_v; S += T)
+No Horner phase, no per-window loop: window weighting lives in the scaled
+points. Sequential depth ~ B + log2(C) + 15 (+64*4 doublings when scaling
+on the fly for variable bases).
+
+Scalars with known small bit-width (witness vectors are bits/u32 words) use
+max_bits=40 -> 10 windows instead of 64, a ~6x work saving the reference
+cannot express.
 
 Sharding: points/scalars split along N across devices under shard_map; each
 device computes a partial MSM and partials combine with one pt_add reduction
@@ -35,7 +42,7 @@ device computes a partial MSM and partials combine with one pt_add reduction
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,42 +50,104 @@ import jax.numpy as jnp
 from . import curve as C
 from . import field as F
 
-DUMP = 256  # scatter slot for "no flush"
+DUMP = 16          # bucket slot for "no flush" (digit 0 also lands here)
+RADIX_BITS = 4
+N_BUCKETS = 17     # slots 1..15 carry value; 0 and 16 are dumps
 
 
-def _bucket_weighted_sum(spec: C.CurveSpec, digits: jnp.ndarray,
-                         pts: C.Point, n_chunks: int) -> C.Point:
-    """One window: Σ v · (Σ points with digit v). digits: (N,) int32."""
-    n = digits.shape[0]
-    b = -(-n // n_chunks)  # ceil
-    pad = n_chunks * b - n
+def n_windows4(max_bits: int) -> int:
+    return (max_bits + RADIX_BITS - 1) // RADIX_BITS
 
-    order = jnp.argsort(digits)
-    d_sorted = digits[order]
-    p_sorted = tuple(x[order] for x in pts)
 
-    d_sorted = jnp.concatenate(
-        [d_sorted, jnp.full((pad,), DUMP, jnp.int32)])
-    identity_pad = C.identity_for(spec, (pad,))
-    p_sorted = tuple(jnp.concatenate([x, ip], axis=0)
-                     for x, ip in zip(p_sorted, identity_pad))
+def scale_points16(spec: C.CurveSpec, points: C.Point,
+                   windows: int) -> C.Point:
+    """(W4, N, ...) scaled points 16^w * P_j via one doubling scan."""
+    def next_window(p, _):
+        def dbl(q, __):
+            return C.pt_double(spec, q), None
+        p16, _ = jax.lax.scan(dbl, p, None, length=RADIX_BITS)
+        return p16, p
 
-    # (C, B) row-major: each chunk is a contiguous run of the sorted order.
-    d_cb = d_sorted.reshape(n_chunks, b)
-    p_cb = tuple(x.reshape(n_chunks, b, F.N_LIMBS) for x in p_sorted)
+    _, stacked = jax.lax.scan(next_window, points, None, length=windows)
+    return stacked
 
-    lanes = jnp.arange(n_chunks)
-    buckets0 = C.identity_for(spec, (n_chunks, DUMP + 1))
-    run0 = C.identity_for(spec, (n_chunks,))
-    dig0 = jnp.full((n_chunks,), -1, jnp.int32)
 
-    def step(carry, inp):
+def _digits4(scalar_limbs: jnp.ndarray, windows: int) -> jnp.ndarray:
+    """(N, 32) radix-256 canonical limbs -> (W4, N) radix-16 digits."""
+    lo = scalar_limbs & 0xF
+    hi = (scalar_limbs >> RADIX_BITS) & 0xF
+    inter = jnp.stack([lo, hi], axis=-1)             # (N, 32, 2)
+    flat = inter.reshape(scalar_limbs.shape[0], -1)  # (N, 64) LSB first
+    return jnp.moveaxis(flat[:, :windows], -1, 0)
+
+
+def msm(spec: C.CurveSpec, scalar_limbs: jnp.ndarray, points: C.Point,
+        max_bits: int = 256, block: Optional[int] = None,
+        merge_width: Optional[int] = None,
+        scaled: Optional[C.Point] = None) -> C.Point:
+    """MSM over canonical-limb scalars (N, 32) and points (N, ...).
+
+    max_bits bounds scalar magnitude (witness vectors use 40 -> 10 4-bit
+    windows). block is the per-lane scan length B (the dominant sequential
+    cost on TPU, where a while-loop step costs ~1-2ms regardless of width;
+    default 32 there). CPU executes width as real work, so its default
+    trades sequential steps for fewer lanes (block 256). Pass `scaled`
+    (from scale_points16) for fixed bases to skip the on-the-fly scaling
+    scan."""
+    if block is None:
+        block = 256 if jax.default_backend() == "cpu" else 32
+    if merge_width is None:
+        # CPU pays the halving scan's idle rows as real work -> small R;
+        # TPU pays sequential steps -> large R (fewer slab iterations).
+        merge_width = 64 if jax.default_backend() == "cpu" else 2048
+    n = scalar_limbs.shape[0]
+    w4 = n_windows4(max_bits)
+    if scaled is None:
+        scaled = scale_points16(spec, points, w4)
+    else:
+        scaled = tuple(x[:w4] for x in scaled)
+
+    digits = _digits4(scalar_limbs, w4)              # (W4, N)
+
+    # Per-window sort (digit runs stay within one window's lanes).
+    order = jnp.argsort(digits, axis=-1)
+    d_sorted = jnp.take_along_axis(digits, order, axis=-1)
+    p_sorted = tuple(
+        jnp.take_along_axis(x, order[..., None], axis=1) for x in scaled)
+
+    b = max(1, min(block, n))
+    lanes_per_w = -(-n // b)                         # ceil
+    pad = lanes_per_w * b - n
+    if pad:
+        d_sorted = jnp.concatenate(
+            [d_sorted, jnp.full((w4, pad), DUMP, jnp.int32)], axis=1)
+        ident = C.identity_for(spec, (w4, pad))
+        p_sorted = tuple(jnp.concatenate([x, ip], axis=1)
+                         for x, ip in zip(p_sorted, ident))
+
+    n_lanes = w4 * lanes_per_w
+    d_cb = d_sorted.reshape(n_lanes, b)
+    p_cb = tuple(x.reshape(n_lanes, b, F.N_LIMBS) for x in p_sorted)
+
+    buckets0 = C.identity_for(spec, (n_lanes, N_BUCKETS))
+    run0 = C.identity_for(spec, (n_lanes,))
+    dig0 = jnp.full((n_lanes,), -1, jnp.int32)
+    slot_cols = jnp.arange(N_BUCKETS)[None, :]
+
+    def _flush(buckets, slot, run):
+        # Dense masked write, NOT a scatter: XLA lowers per-row scatters on
+        # TPU to a serialized update loop (~2-5us per row — measured 2s for
+        # one 32k-lane comm_T); the one-hot where() is pure vector writes.
+        mask = slot_cols == slot[:, None]                # (C, 17)
+        return tuple(jnp.where(mask[..., None], rv[:, None, :], bk)
+                     for bk, rv in zip(buckets, run))
+
+    def seg_step(carry, inp):
         run, run_dig, buckets = carry
         cur_pt, cur_dig = inp
         same = cur_dig == run_dig
         slot = jnp.where(same | (run_dig < 0), DUMP, run_dig)
-        buckets = tuple(bk.at[lanes, slot].set(rv)
-                        for bk, rv in zip(buckets, run))
+        buckets = _flush(buckets, slot, run)
         merged = C.pt_add(spec, run, cur_pt)
         run = C.pt_select(same, merged, cur_pt)
         return (run, cur_dig, buckets), None
@@ -86,221 +155,68 @@ def _bucket_weighted_sum(spec: C.CurveSpec, digits: jnp.ndarray,
     xs = (tuple(jnp.moveaxis(x, 0, 1) for x in p_cb),
           jnp.moveaxis(d_cb, 0, 1))
     (run, run_dig, buckets), _ = jax.lax.scan(
-        step, (run0, dig0, buckets0), xs)
-    # Final flush of the trailing segments.
-    slot = jnp.where(run_dig < 0, DUMP, run_dig)
-    buckets = tuple(bk.at[lanes, slot].set(rv)
-                    for bk, rv in zip(buckets, run))
+        seg_step, (run0, dig0, buckets0), xs)
+    buckets = _flush(buckets, jnp.where(run_dig < 0, DUMP, run_dig), run)
 
-    # Merge per-chunk buckets: unrolled pairwise tree over the chunk axis
-    # (log2(C) wide launches instead of a C-iteration scan).
-    cur = buckets
-    width = n_chunks
-    while width > 1:
-        half = width // 2
-        top = tuple(x[..., :half, :, :] for x in cur)
-        bot = tuple(x[..., half: 2 * half, :, :] for x in cur)
-        summed = C.pt_add(spec, top, bot)
-        if width % 2:
-            summed = tuple(
-                jnp.concatenate([s, x[..., 2 * half: width, :, :]],
-                                axis=-3)
-                for s, x in zip(summed, cur))
-            width = half + 1
-        else:
-            width = half
-        cur = summed
-    bk = tuple(x[..., 0, :DUMP, :] for x in cur)  # (256, limbs)
-    return _weighted_bucket_sum(spec, bk)
+    # Lane merge in two levels, both single-instantiation scans with zero
+    # wasted adds in level 1:
+    #   1. slab scan: reshape (C, 17) -> (C/R, R, 17) and accumulate slabs
+    #      into an (R, 17) carry (C/R sequential steps, work exactly C*17);
+    #   2. halving scan over the R rows: step k pairs rows (2i, 2i+1) into
+    #      row i; rows past the valid prefix are identities, so the fixed
+    #      index set stays correct as the prefix shrinks (log2(R) steps).
+    r_rows = max(1, min(merge_width, n_lanes))
+    n_slab = -(-n_lanes // r_rows)
+    lane_pad = n_slab * r_rows - n_lanes
+    if lane_pad:
+        ident_rows = C.identity_for(spec, (lane_pad, N_BUCKETS))
+        buckets = tuple(jnp.concatenate([bk, ir], axis=0)
+                        for bk, ir in zip(buckets, ident_rows))
+    slabs = tuple(x.reshape(n_slab, r_rows, N_BUCKETS, F.N_LIMBS)
+                  for x in buckets)
 
+    def slab_step(carry, slab):
+        return C.pt_add(spec, carry, slab), None
 
-def _weighted_bucket_sum(spec: C.CurveSpec, bk: C.Point) -> C.Point:
-    """S = Σ_v v·B_v over 256 buckets via bit decomposition of v:
-    S = Σ_{k<8} 2^k · (Σ_{v: bit k set} B_v). The masked sums run as ONE
-    8-way-batched unrolled pairwise tree (8 wide launches) instead of a
-    255-iteration sequential scan — sequential-launch count is what bounds
-    MSM time on TPU, not arithmetic (measured ~2ms per while-loop step
-    regardless of width)."""
-    vbits = ((jnp.arange(DUMP)[None, :] >> jnp.arange(8)[:, None]) & 1)
-    ident = C.identity_for(spec, (DUMP,))
-    cur = tuple(jnp.where(vbits[..., None].astype(bool), x[None],
-                          id_c[None])
-                for x, id_c in zip(bk, ident))      # (8, 256, limbs)
-    width = DUMP
-    while width > 1:
-        half = width // 2
-        top = tuple(x[..., :half, :] for x in cur)
-        bot = tuple(x[..., half: 2 * half, :] for x in cur)
-        cur = C.pt_add(spec, top, bot)
-        width = half
-    mk = tuple(x[..., 0, :] for x in cur)           # (8, limbs)
+    carry0 = C.identity_for(spec, (r_rows, N_BUCKETS))
+    buckets, _ = jax.lax.scan(slab_step, carry0, slabs)
 
-    def horner_bit(acc, p_k):
-        acc = C.pt_double(spec, acc)
-        return C.pt_add(spec, acc, p_k), None
+    if r_rows > 1:
+        if r_rows % 2:
+            ident_row = C.identity_for(spec, (1, N_BUCKETS))
+            buckets = tuple(jnp.concatenate([bk, ir], axis=0)
+                            for bk, ir in zip(buckets, ident_row))
+            r_rows += 1
+        n_pair = r_rows // 2
+        depth = (r_rows - 1).bit_length()
+        idx_a = 2 * jnp.arange(n_pair)
+        idx_b = idx_a + 1
+        ident_half = C.identity_for(spec, (r_rows - n_pair, N_BUCKETS))
 
-    rev = tuple(x[::-1] for x in mk)
-    acc, _ = jax.lax.scan(horner_bit, C.identity_for(spec), rev)
-    return acc
+        def merge_step(bk, _):
+            top = tuple(x[idx_a] for x in bk)
+            bot = tuple(x[idx_b] for x in bk)
+            s = C.pt_add(spec, top, bot)
+            nxt = tuple(jnp.concatenate([sx, ir], axis=0)
+                        for sx, ir in zip(s, ident_half))
+            return nxt, None
 
+        buckets, _ = jax.lax.scan(merge_step, buckets, None, length=depth)
+    bk = tuple(x[0] for x in buckets)                # (17, limbs)
 
-def msm(spec: C.CurveSpec, scalar_limbs: jnp.ndarray, points: C.Point,
-        max_bits: int = 256, n_chunks: int = 64) -> C.Point:
-    """MSM over canonical-digit scalars (N, 32) and batched points (N, ...).
+    # Weighted sum over buckets 1..15: suffix scan T += B_v; S += T.
+    tail = tuple(x[1:16][::-1] for x in bk)          # v = 15 .. 1
 
-    max_bits bounds scalar magnitude: witness vectors (bits/u32/u34 values)
-    use max_bits=40 → 5 windows instead of 32.
+    def wsum_step(carry, bv):
+        T, S = carry
+        T = C.pt_add(spec, T, bv)
+        S = C.pt_add(spec, S, T)
+        return (T, S), None
 
-    The bucket phase runs vmapped across ALL windows at once (maximum lane
-    width, ~W× fewer sequential scan iterations); only the cheap Horner
-    combine is window-sequential."""
-    n = scalar_limbs.shape[0]
-    n_windows = (max_bits + F.LIMB_BITS - 1) // F.LIMB_BITS
-    n_chunks = max(1, min(n_chunks, n))
-    digits = jnp.moveaxis(
-        scalar_limbs[..., :n_windows], -1, 0)  # (W, N), LSB window first
-
-    per_window = jax.vmap(
-        lambda dg: _bucket_weighted_sum(spec, dg, points, n_chunks))
-    S = per_window(digits)  # window-batched point, LSB first
-
-    def horner(acc, s_w):
-        acc, _ = jax.lax.scan(lambda p, _: (C.pt_double(spec, p), None),
-                              acc, None, length=F.LIMB_BITS)
-        return C.pt_add(spec, acc, s_w), None
-
-    rev = tuple(x[::-1] for x in S)  # MSB window first
-    acc, _ = jax.lax.scan(horner, C.identity_for(spec), rev)
-    return acc
+    zero = C.identity_for(spec)
+    (_, S), _ = jax.lax.scan(wsum_step, (zero, zero), tail)
+    return S
 
 
 def msm_jitted(spec: C.CurveSpec, max_bits: int = 256):
     return jax.jit(lambda s, p: msm(spec, s, p, max_bits=max_bits))
-
-
-# ---------------------------------------------------------------------------
-# Fixed-base MSM: the commitment-key bases never change, so each radix-256
-# window's 256^w weighting is folded into precomputed scaled generators
-# 256^w * G_j. The whole multi-window MSM becomes ONE flat single-window
-# bucket problem over W*N (point, digit) pairs — no Horner doublings, no
-# per-window phase. Sequential structure is engineered for TPU launch
-# overhead (~ms per XLA while-loop step regardless of width): a wide bucket
-# scan (few dozen iterations), an unrolled pairwise merge tree over chunks,
-# and a bit-decomposed bucket weighting (8 masked tree-sums).
-# ---------------------------------------------------------------------------
-
-
-def scale_generators(spec: C.CurveSpec, points: C.Point,
-                     n_windows: int) -> C.Point:
-    """Device precompute of (W, N, ...) scaled generators: 256^w * G_j."""
-    def next_window(p, _):
-        def dbl(q, __):
-            return C.pt_double(spec, q), None
-        p8, _ = jax.lax.scan(dbl, p, None, length=F.LIMB_BITS)
-        return p8, p
-
-    _, stacked = jax.lax.scan(next_window, points, None, length=n_windows)
-    return stacked  # (W, N, limbs) per coordinate
-
-
-def msm_fixed(spec: C.CurveSpec, scalar_limbs: jnp.ndarray,
-              scaled_pts: C.Point, n_windows: int,
-              n_chunks: int = 2048) -> C.Point:
-    """MSM with pre-scaled generators. scalar_limbs (N, 32); scaled_pts
-    (W, N, ...) with W >= n_windows.
-
-    STATUS (measured on TPU v5e, N=16k, 32 windows): correct, but NOT faster
-    than `msm` yet — the dense per-chunk bucket buffer (C, 257, limbs) makes
-    the scatter phase memory-bound (n_chunks=4096 ran 3.6x slower than the
-    default path; 8192 OOMs from tiling padding). Keep default commits on
-    `msm`; revisit with a radix-2^4 variant (17-slot buckets, 15x smaller
-    buffers) or a Pallas bucket kernel. See docs/ROADMAP.md."""
-    n = scalar_limbs.shape[0]
-    digits = jnp.moveaxis(scalar_limbs[..., :n_windows], -1, 0)  # (W, N)
-    flat_d = digits.reshape(n_windows * n)
-    flat_p = tuple(x[:n_windows].reshape(n_windows * n, F.N_LIMBS)
-                   for x in scaled_pts)
-
-    total = n_windows * n
-    n_chunks = max(1, min(n_chunks, total))
-    b = -(-total // n_chunks)
-    pad = n_chunks * b - total
-
-    order = jnp.argsort(flat_d)
-    d_sorted = jnp.concatenate(
-        [flat_d[order], jnp.full((pad,), DUMP, jnp.int32)])
-    identity_pad = C.identity_for(spec, (pad,))
-    p_sorted = tuple(jnp.concatenate([x[order], ip], axis=0)
-                     for x, ip in zip(flat_p, identity_pad))
-
-    d_cb = d_sorted.reshape(n_chunks, b)
-    p_cb = tuple(x.reshape(n_chunks, b, F.N_LIMBS) for x in p_sorted)
-
-    lanes = jnp.arange(n_chunks)
-    buckets0 = C.identity_for(spec, (n_chunks, DUMP + 1))
-    run0 = C.identity_for(spec, (n_chunks,))
-    dig0 = jnp.full((n_chunks,), -1, jnp.int32)
-
-    def step(carry, inp):
-        run, run_dig, buckets = carry
-        cur_pt, cur_dig = inp
-        same = cur_dig == run_dig
-        slot = jnp.where(same | (run_dig < 0), DUMP, run_dig)
-        buckets = tuple(bk.at[lanes, slot].set(rv)
-                        for bk, rv in zip(buckets, run))
-        merged = C.pt_add(spec, run, cur_pt)
-        run = C.pt_select(same, merged, cur_pt)
-        return (run, cur_dig, buckets), None
-
-    xs = (tuple(jnp.moveaxis(x, 0, 1) for x in p_cb),
-          jnp.moveaxis(d_cb, 0, 1))
-    (run, run_dig, buckets), _ = jax.lax.scan(
-        step, (run0, dig0, buckets0), xs)
-    slot = jnp.where(run_dig < 0, DUMP, run_dig)
-    buckets = tuple(bk.at[lanes, slot].set(rv)
-                    for bk, rv in zip(buckets, run))
-
-    # Pairwise merge tree over the chunk axis (unrolled log2 rounds; each
-    # round is ONE wide pt_add launch).
-    cur = buckets
-    width = n_chunks
-    while width > 1:
-        half = width // 2
-        top = tuple(x[:half] for x in cur)
-        bot = tuple(x[half: 2 * half] for x in cur)
-        summed = C.pt_add(spec, top, bot)
-        if width % 2:
-            summed = tuple(jnp.concatenate([s, x[2 * half: width]], axis=0)
-                           for s, x in zip(summed, cur))
-            width = half + 1
-        else:
-            width = half
-        cur = summed
-    bk = tuple(x[0, :DUMP] for x in cur)  # (256, limbs)
-
-    # Weighted sum via bit decomposition of the bucket value: S = sum_k 2^k *
-    # (sum of buckets whose index has bit k) — 8 masked tree-sums, batched
-    # over k, then an 8-step Horner.
-    vbits = ((jnp.arange(DUMP)[None, :] >> jnp.arange(8)[:, None]) & 1)
-    ident = C.identity_for(spec, (DUMP,))
-    masked = tuple(jnp.where(vbits[..., None].astype(bool),
-                             x[None], id_c[None])
-                   for x, id_c in zip(bk, ident))
-    # masked: (8, 256, limbs). Tree-reduce over the bucket axis.
-    cur = masked
-    width = DUMP
-    while width > 1:
-        half = width // 2
-        top = tuple(x[:, :half] for x in cur)
-        bot = tuple(x[:, half: 2 * half] for x in cur)
-        cur = C.pt_add(spec, top, bot)
-        width = half
-    mk = tuple(x[:, 0] for x in cur)  # (8, limbs)
-
-    def horner_bit(acc, p_k):
-        acc = C.pt_double(spec, acc)
-        return C.pt_add(spec, acc, p_k), None
-
-    rev = tuple(x[::-1] for x in mk)
-    acc, _ = jax.lax.scan(horner_bit, C.identity_for(spec), rev)
-    return acc

@@ -41,21 +41,38 @@ def _reduce_points(spec: C.CurveSpec, gathered: C.Point) -> C.Point:
 
 def msm_sharded(spec: C.CurveSpec, mesh: Mesh, scalar_limbs: jnp.ndarray,
                 points: C.Point, max_bits: int = 256,
-                axis: str = "msm") -> C.Point:
-    """One MSM with N split across `axis`. N must divide by the axis size."""
+                axis: str = "msm", scaled=None) -> C.Point:
+    """One MSM with N split across `axis`. N must divide by the axis size.
+    Pass `scaled` (16^w-scaled fixed-base points, (W4, N, ...)) to skip the
+    per-device scaling scan — sharded along the point axis."""
     pt_specs = (P(axis), P(axis), P(axis))
 
+    if scaled is None:
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(axis), pt_specs),
+                 out_specs=(P(), P(), P()),
+                 check_rep=False)
+        def fn(sc, pts):
+            part = M.msm(spec, sc, pts, max_bits=max_bits)
+            gathered = jax.tree_util.tree_map(
+                lambda x: jax.lax.all_gather(x, axis), part)
+            return _reduce_points(spec, gathered)
+
+        return fn(scalar_limbs, points)
+
+    sc_specs = (P(None, axis), P(None, axis), P(None, axis))
+
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(axis), pt_specs),
+             in_specs=(P(axis), pt_specs, sc_specs),
              out_specs=(P(), P(), P()),
              check_rep=False)
-    def fn(sc, pts):
-        part = M.msm(spec, sc, pts, max_bits=max_bits)
+    def fn2(sc, pts, scl):
+        part = M.msm(spec, sc, pts, max_bits=max_bits, scaled=scl)
         gathered = jax.tree_util.tree_map(
             lambda x: jax.lax.all_gather(x, axis), part)
         return _reduce_points(spec, gathered)
 
-    return fn(scalar_limbs, points)
+    return fn2(scalar_limbs, points, scaled)
 
 
 def batch_commit_sharded(spec: C.CurveSpec, mesh: Mesh,

@@ -50,11 +50,12 @@ def test_all_zero_scalars():
 
 
 def test_fixed_base_msm():
+    """Pre-scaled generators path (the commitment-key hot path)."""
     spec = C.PALLAS
     scalars, gens, limbs, pts = _setup(spec, 16, 255, seed=13)
     import jax
-    scaled = jax.jit(lambda p: M.scale_generators(spec, p, 32))(pts)
-    fn = jax.jit(lambda s: M.msm_fixed(spec, s, scaled, 32, n_chunks=32))
+    scaled = jax.jit(lambda p: M.scale_points16(spec, p, 64))(pts)
+    fn = jax.jit(lambda s: M.msm(spec, s, pts, max_bits=256, scaled=scaled))
     got = C.pt_to_affine_host(spec, tuple(x[None] for x in fn(limbs)))[0]
     assert got == C.host_msm(spec, scalars, gens)
 
@@ -63,7 +64,28 @@ def test_fixed_base_small_windows():
     spec = C.PALLAS
     scalars, gens, limbs, pts = _setup(spec, 8, 40, seed=21)
     import jax
-    scaled = jax.jit(lambda p: M.scale_generators(spec, p, 5))(pts)
-    fn = jax.jit(lambda s: M.msm_fixed(spec, s, scaled, 5, n_chunks=8))
+    scaled = jax.jit(lambda p: M.scale_points16(spec, p, 10))(pts)
+    fn = jax.jit(lambda s: M.msm(spec, s, pts, max_bits=40, scaled=scaled))
     got = C.pt_to_affine_host(spec, tuple(x[None] for x in fn(limbs)))[0]
+    assert got == C.host_msm(spec, scalars, gens)
+
+
+def test_odd_block_sizes():
+    """Non-power-of-two N exercising lane padding + odd lane merges."""
+    spec = C.PALLAS
+    scalars, gens, limbs, pts = _setup(spec, 5, 64, seed=31)
+    import jax
+    fn = jax.jit(lambda s, p: M.msm(spec, s, p, max_bits=64, block=2))
+    got = C.pt_to_affine_host(spec, tuple(x[None] for x in fn(limbs, pts)))[0]
+    assert got == C.host_msm(spec, scalars, gens)
+
+
+def test_odd_lane_count():
+    """w4=1, 5 points, block=2 -> 3 lanes (odd): the merge-scan identity
+    padding must still include the last lane."""
+    spec = C.PALLAS
+    scalars, gens, limbs, pts = _setup(spec, 5, 4, seed=37)
+    import jax
+    fn = jax.jit(lambda s, p: M.msm(spec, s, p, max_bits=4, block=2))
+    got = C.pt_to_affine_host(spec, tuple(x[None] for x in fn(limbs, pts)))[0]
     assert got == C.host_msm(spec, scalars, gens)
