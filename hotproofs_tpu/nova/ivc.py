@@ -16,17 +16,20 @@ Proof shape/verifier cost tradeoff vs the reference: this is transparent
 folding WITHOUT the in-circuit folding verifier (arecibo's augmented circuit
 on a curve cycle), so the proof carries per-step instances — O(n_steps)
 verifier group ops instead of O(1). Same knowledge claim, same fold
-arithmetic; the succinct wrapper (Spartan compression, main.rs:260-315) is
-roadmapped separately (docs/ROADMAP.md).
+arithmetic; the succinct wrapper over the folded instance lives in
+nova/spartan.py (reference parity: CompressedSNARK, main.rs:260-315).
 
 Checkpoint/resume: ProverCheckpoint captures the tiny running state between
 folds (SURVEY.md §5 flags this as the natural elastic-recovery point; the
-reference keeps it memory-only).
+reference keeps it memory-only). prove_batch takes checkpoint_every/
+checkpoint_path and a resume= checkpoint.
+
+Serialization is data-only JSON (nova/serial.py) — never pickle: the verify
+path deserializes attacker-supplied files.
 """
 
 from __future__ import annotations
 
-import pickle
 from dataclasses import dataclass, field as dc_field
 from typing import Iterable, List, Optional, Sequence, Tuple
 
@@ -37,6 +40,7 @@ import numpy as np
 from ..ops import curve as C
 from ..ops import field as F
 from . import fold as NF
+from . import serial
 from .pedersen import SMALL_BITS, CommitmentKey
 from .r1cs import ShapeDevice, matvec_all, to_mont_vec, witness_to_device
 from .transcript import Transcript, digest_of
@@ -68,14 +72,104 @@ class IVCProof:
     def z_final(self, io_arity: int) -> List[int]:
         return self.steps[-1].X[:io_arity]
 
+    def to_dict(self) -> dict:
+        return {
+            "z0": serial.enc_ints(self.z0),
+            "steps_X": [serial.enc_ints(s.X) for s in self.steps],
+            "steps_comm_W": serial.enc_points(
+                [s.comm_W for s in self.steps]),
+            "comm_Ts": serial.enc_points(self.comm_Ts),
+            "final_W": serial.enc_ints(self.final_W),
+            "final_E": serial.enc_ints(self.final_E),
+            "pp_digest": int(self.pp_digest),
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "IVCProof":
+        steps = [StepClaim(X=serial.enc_ints(x), comm_W=serial.dec_point(w))
+                 for x, w in zip(d["steps_X"], d["steps_comm_W"])]
+        return IVCProof(
+            z0=serial.enc_ints(d["z0"]), steps=steps,
+            comm_Ts=serial.dec_points(d["comm_Ts"]),
+            final_W=serial.enc_ints(d["final_W"]),
+            final_E=serial.enc_ints(d["final_E"]),
+            pp_digest=int(d["pp_digest"]))
+
     def save(self, path: str) -> None:
-        with open(path, "wb") as f:
-            pickle.dump(self, f)
+        serial.dump("ivc_proof", self.to_dict(), path)
 
     @staticmethod
     def load(path: str) -> "IVCProof":
-        with open(path, "rb") as f:
-            return pickle.load(f)
+        return IVCProof.from_dict(serial.load("ivc_proof", path))
+
+
+@dataclass
+class ProverCheckpoint:
+    """Mid-prove state between folds: resume a chain after interruption.
+
+    Everything is exact ints (the device accumulator converts to canonical
+    form on save and back to Montgomery on resume), so checkpoints are
+    host-portable and safely JSON-serializable."""
+
+    next_step: int
+    z0: List[int]
+    steps: List[StepClaim]
+    comm_Ts: List[Affine]
+    acc_u: int
+    acc_X: List[int]
+    acc_comm_W: Affine
+    acc_comm_E: Affine
+    acc_W: List[int]
+    acc_E: List[int]
+    acc_az: List[int]
+    acc_bz: List[int]
+    acc_cz: List[int]
+    sponge_state: List[int]
+    sponge_absorbed: int
+    pp_digest: int
+
+    def save(self, path: str) -> None:
+        serial.dump("prover_checkpoint", {
+            "next_step": self.next_step,
+            "z0": serial.enc_ints(self.z0),
+            "steps_X": [serial.enc_ints(s.X) for s in self.steps],
+            "steps_comm_W": serial.enc_points(
+                [s.comm_W for s in self.steps]),
+            "comm_Ts": serial.enc_points(self.comm_Ts),
+            "acc_u": int(self.acc_u),
+            "acc_X": serial.enc_ints(self.acc_X),
+            "acc_comm_W": serial.enc_point(self.acc_comm_W),
+            "acc_comm_E": serial.enc_point(self.acc_comm_E),
+            "acc_W": serial.enc_ints(self.acc_W),
+            "acc_E": serial.enc_ints(self.acc_E),
+            "acc_az": serial.enc_ints(self.acc_az),
+            "acc_bz": serial.enc_ints(self.acc_bz),
+            "acc_cz": serial.enc_ints(self.acc_cz),
+            "sponge_state": serial.enc_ints(self.sponge_state),
+            "sponge_absorbed": int(self.sponge_absorbed),
+            "pp_digest": int(self.pp_digest),
+        }, path)
+
+    @staticmethod
+    def load(path: str) -> "ProverCheckpoint":
+        d = serial.load("prover_checkpoint", path)
+        steps = [StepClaim(X=serial.enc_ints(x), comm_W=serial.dec_point(w))
+                 for x, w in zip(d["steps_X"], d["steps_comm_W"])]
+        return ProverCheckpoint(
+            next_step=int(d["next_step"]),
+            z0=serial.enc_ints(d["z0"]), steps=steps,
+            comm_Ts=serial.dec_points(d["comm_Ts"]),
+            acc_u=int(d["acc_u"]), acc_X=serial.enc_ints(d["acc_X"]),
+            acc_comm_W=serial.dec_point(d["acc_comm_W"]),
+            acc_comm_E=serial.dec_point(d["acc_comm_E"]),
+            acc_W=serial.enc_ints(d["acc_W"]),
+            acc_E=serial.enc_ints(d["acc_E"]),
+            acc_az=serial.enc_ints(d["acc_az"]),
+            acc_bz=serial.enc_ints(d["acc_bz"]),
+            acc_cz=serial.enc_ints(d["acc_cz"]),
+            sponge_state=serial.enc_ints(d["sponge_state"]),
+            sponge_absorbed=int(d["sponge_absorbed"]),
+            pp_digest=int(d["pp_digest"]))
 
 
 class IVC:
@@ -86,8 +180,9 @@ class IVC:
                  label: bytes = b"ivc"):
         """big_wit_idx: witness positions that may exceed 2^SMALL_BITS.
         None disables the small-scalar fast path (all commits full-width);
-        an array enables it — the caller asserts every other witness value
-        fits SMALL_BITS (see ChunkProver's runtime guard)."""
+        an array enables it — every commit then runs a device-side range
+        check that the remaining witness values fit SMALL_BITS (a silent
+        high-window truncation would produce a wrong commitment)."""
         assert curve.scalar.p == shape.field.p, \
             "commitment curve group order must equal circuit field"
         self.shape = shape
@@ -95,13 +190,16 @@ class IVC:
         self.ck = ck
         self.big_wit_idx = big_wit_idx
         self.label = label
+        # Bind the FULL shape: values AND sparsity patterns of all three
+        # matrices, plus dimensions (two circuits differing only in B/C
+        # structure must not share a digest).
         self.pp_digest = digest_of(
             label,
-            np.asarray(shape.A.rows).tobytes(),
-            np.asarray(shape.A.cols).tobytes(),
-            np.asarray(shape.A.vals_mont).tobytes(),
-            np.asarray(shape.B.vals_mont).tobytes(),
-            np.asarray(shape.C.vals_mont).tobytes(),
+            np.asarray([shape.n_cons, shape.n_vars, shape.n_io],
+                       np.int64).tobytes(),
+            *[np.asarray(part).tobytes()
+              for m in (shape.A, shape.B, shape.C)
+              for part in (m.rows, m.cols, m.vals_mont)],
             ck.gens_affine.tobytes(),
         ) % shape.field.p
         self._jit_cache = {}
@@ -116,6 +214,36 @@ class IVC:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
+    def _new_transcript(self, z0: Sequence[int]) -> Transcript:
+        spec = self.shape.field
+        tr = Transcript(spec.name + "", self.label, self.pp_digest)
+        tr.absorb_scalars([v % spec.p for v in z0])
+        return tr
+
+    @staticmethod
+    def _fold_challenge(tr: Transcript, acc_inst, X_i, comm_W,
+                        comm_T) -> int:
+        """One fold's Fiat–Shamir absorb sequence (prover == verifier)."""
+        tr.absorb_scalar(acc_inst.u)
+        tr.absorb_scalars(acc_inst.X)
+        tr.absorb_point(acc_inst.comm_W)
+        tr.absorb_point(acc_inst.comm_E)
+        tr.absorb_scalars(X_i)
+        tr.absorb_point(comm_W)
+        tr.absorb_point(comm_T)
+        return tr.challenge()
+
+    def _finish_proof(self, z0, steps, comm_Ts, acc_dev) -> IVCProof:
+        spec = self.shape.field
+        from_mont_j = F.jitted("from_mont", spec)
+        final_W = [int(v) for v in spec.limbs_to_ints(
+            np.asarray(from_mont_j(acc_dev.W)))]
+        final_E = [int(v) for v in spec.limbs_to_ints(
+            np.asarray(from_mont_j(acc_dev.E)))]
+        return IVCProof(z0=list(z0), steps=steps, comm_Ts=comm_Ts,
+                        final_W=final_W, final_E=final_E,
+                        pp_digest=self.pp_digest)
+
     # -- proving ------------------------------------------------------------
     def prove(self, z0: Sequence[int],
               witnesses: Iterable[np.ndarray],
@@ -125,8 +253,7 @@ class IVC:
         shape, spec, curve = self.shape, self.shape.field, self.curve
         n_io = shape.n_io
         acc_dev, acc_inst = NF.empty_accumulator(shape)
-        tr = Transcript(spec.name + "", self.label, self.pp_digest)
-        tr.absorb_scalars([v % spec.p for v in z0])
+        tr = self._new_transcript(z0)
 
         matvec_j = self._jit("matvec", lambda z: matvec_all(shape, z))
         to_mont_j = F.jitted("to_mont", spec)
@@ -159,15 +286,7 @@ class IVC:
             comm_T = C.pt_to_affine_host(
                 curve, tuple(x[None] for x in comm_T_dev))[0]
 
-            # Challenge binds running instance, step instance and comm_T.
-            tr.absorb_scalar(acc_inst.u)
-            tr.absorb_scalars(acc_inst.X)
-            tr.absorb_point(acc_inst.comm_W)
-            tr.absorb_point(acc_inst.comm_E)
-            tr.absorb_scalars(X_i)
-            tr.absorb_point(comm_W)
-            tr.absorb_point(comm_T)
-            r = tr.challenge()
+            r = self._fold_challenge(tr, acc_inst, X_i, comm_W, comm_T)
 
             r_mont = self._scalar_mont(r)
             W_mont = to_mont_j(W_canon)
@@ -179,18 +298,16 @@ class IVC:
             if progress:
                 print(f"fold step {i}: done")
 
-        final_W = [int(v) for v in spec.limbs_to_ints(
-            np.asarray(from_mont_j(acc_dev.W)))]
-        final_E = [int(v) for v in spec.limbs_to_ints(
-            np.asarray(from_mont_j(acc_dev.E)))]
-        return IVCProof(z0=list(z0), steps=steps, comm_Ts=comm_Ts,
-                        final_W=final_W, final_E=final_E,
-                        pp_digest=self.pp_digest)
+        return self._finish_proof(z0, steps, comm_Ts, acc_dev)
 
     # -- batched fast path --------------------------------------------------
     def prove_batch(self, z0: Sequence[int], canon_batch,
                     X_host: List[List[int]], chunk_steps: int = 16,
-                    progress: bool = False) -> IVCProof:
+                    progress: bool = False,
+                    checkpoint_path: Optional[str] = None,
+                    checkpoint_every: int = 0,
+                    resume: Optional[ProverCheckpoint] = None,
+                    mesh=None) -> IVCProof:
         """Fold a chain whose witnesses are already device-resident.
 
         canon_batch: (N, n_vars, 32) canonical limb array (e.g. from the
@@ -198,18 +315,51 @@ class IVC:
         Phases per chunk of steps: batched to-Montgomery + batched SpMVs +
         batched W-commits (all independent of the fold), then the sequential
         fold loop touches only precomputed tensors + one comm_T MSM per step.
+
+        checkpoint_every > 0 writes a ProverCheckpoint to checkpoint_path
+        every that-many folds; resume= continues from a loaded checkpoint
+        (canon_batch/X_host must be the same full chain).
+
+        mesh: optional jax.sharding.Mesh with axes ("step", "msm") — W
+        commits shard the step batch over `step`, the per-fold comm_T MSM
+        shards its points over `msm` (SURVEY.md §2c; the same proof bytes
+        come out regardless of the mesh).
         """
         import jax
 
         shape, spec, curve = self.shape, self.shape.field, self.curve
         n_io = shape.n_io
         n_steps = canon_batch.shape[0]
-        acc_dev, acc_inst = NF.empty_accumulator(shape)
-        tr = Transcript(spec.name + "", self.label, self.pp_digest)
-        tr.absorb_scalars([v % spec.p for v in z0])
-
         to_mont_j = F.jitted("to_mont", spec)
         from_mont_j = F.jitted("from_mont", spec)
+
+        if resume is None:
+            acc_dev, acc_inst = NF.empty_accumulator(shape)
+            tr = self._new_transcript(z0)
+            steps: List[StepClaim] = []
+            comm_Ts: List[Affine] = []
+            start = 0
+        else:
+            assert resume.pp_digest == self.pp_digest, \
+                "checkpoint is for a different circuit/key"
+            acc_dev = NF.AccumulatorDevice(
+                W=to_mont_j(jnp.asarray(spec.batch_to_limbs(resume.acc_W))),
+                E=to_mont_j(jnp.asarray(spec.batch_to_limbs(resume.acc_E))),
+                az=to_mont_j(jnp.asarray(spec.batch_to_limbs(resume.acc_az))),
+                bz=to_mont_j(jnp.asarray(spec.batch_to_limbs(resume.acc_bz))),
+                cz=to_mont_j(jnp.asarray(spec.batch_to_limbs(resume.acc_cz))),
+            )
+            acc_inst = NF.AccumulatorInstance(
+                u=resume.acc_u, X=list(resume.acc_X),
+                comm_W=resume.acc_comm_W, comm_E=resume.acc_comm_E)
+            tr = self._new_transcript(z0)
+            tr.sponge.state = [v % spec.p for v in resume.sponge_state]
+            tr.sponge._absorbed = resume.sponge_absorbed
+            steps = list(resume.steps)
+            comm_Ts = list(resume.comm_Ts)
+            start = resume.next_step
+            assert start == len(steps) == len(comm_Ts), "corrupt checkpoint"
+
         cross_j = self._jit(
             "cross", lambda acc, az, bz, cz, u: NF.cross_term(
                 spec, acc, az, bz, cz, u))
@@ -219,28 +369,81 @@ class IVC:
         matvec_b = self._jit(
             "matvec_batch", jax.vmap(lambda z: matvec_all(shape, z)))
         if self.big_wit_idx is None:
+            one_commit = self.ck.commit_fn(shape.n_wit, max_bits=256)
+            scaled_W = self.ck.scaled(shape.n_wit, 256)
+        else:
+            big = jnp.asarray(self.big_wit_idx.astype(np.int32))
+            one_commit = self.ck.commit_split_fn(shape.n_wit,
+                                                 self.big_wit_idx)
+            scaled_W = self.ck.scaled(shape.n_wit, SMALL_BITS)
+            check_small_b = self._jit(
+                "check_small_batch",
+                lambda w: jnp.all(w.at[:, big, :].set(0)
+                                  [..., SMALL_BITS // F.LIMB_BITS:] == 0))
+        commT_j = None
+        if mesh is None:
             commit_b = self._jit(
                 "commitW_batch",
-                jax.vmap(lambda w: self.ck.commit(w, max_bits=256)))
+                jax.vmap(one_commit, in_axes=(0, None)))
         else:
-            from ..ops import msm as M
-            from .pedersen import SMALL_BITS
-            big = jnp.asarray(self.big_wit_idx.astype(np.int32))
-            pts = tuple(p[:shape.n_wit] for p in self.ck.points)
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+            from ..parallel.msm_sharded import msm_sharded
 
-            def one_commit(w):
-                small = w.at[big].set(0)
-                acc = M.msm(self.curve, small, pts, max_bits=SMALL_BITS)
-                big_pts = tuple(p[big] for p in pts)
-                return C.pt_add(self.curve, acc,
-                                M.msm(self.curve, w[big], big_pts,
-                                      max_bits=256))
+            step_size = mesh.shape["step"]
+            msm_size = mesh.shape["msm"]
+            assert chunk_steps % step_size == 0, \
+                f"chunk_steps {chunk_steps} must divide by step axis " \
+                f"{step_size}"
+            commit_b = self._jit(
+                ("commitW_mesh", step_size),
+                shard_map(jax.vmap(one_commit, in_axes=(0, None)),
+                          mesh=mesh,
+                          in_specs=(P("step"), (P(), P(), P())),
+                          out_specs=(P("step"), P("step"), P("step")),
+                          check_rep=False))
+            # comm_T: ONE MSM with points sharded along the msm axis.
+            n_pad = -(-shape.n_cons // msm_size) * msm_size
+            pts = tuple(p[:shape.n_cons] for p in self.ck.points)
+            scaled = self.ck.scaled(shape.n_cons, 256)
+            if n_pad > shape.n_cons:
+                extra = n_pad - shape.n_cons
+                ident = C.identity_for(curve, (extra,))
+                pts = tuple(jnp.concatenate([x, i], axis=0)
+                            for x, i in zip(pts, ident))
+                identw = C.identity_for(
+                    curve, (scaled[0].shape[0], extra))
+                scaled = tuple(jnp.concatenate([x, i], axis=1)
+                               for x, i in zip(scaled, identw))
 
-            commit_b = self._jit("commitW_batch_split", jax.vmap(one_commit))
+            # Points/scaled gens are runtime args, never closures (closure
+            # capture would bake ~400MB of constants into the program).
+            def _comm_T_mesh(t_canon, pts_, scaled_):
+                t_pad = jnp.concatenate(
+                    [t_canon, jnp.zeros((n_pad - shape.n_cons, F.N_LIMBS),
+                                        jnp.int32)], axis=0)
+                return msm_sharded(curve, mesh, t_pad, pts_,
+                                   max_bits=256, scaled=scaled_)
 
-        steps: List[StepClaim] = []
-        comm_Ts: List[Affine] = []
-        done = 0
+            _commT_fn = self._jit(("commT_mesh", msm_size), _comm_T_mesh)
+            commT_j = lambda t, _p=pts, _s=scaled: _commT_fn(t, _p, _s)
+
+        def _checkpoint(next_step: int) -> ProverCheckpoint:
+            ints = lambda a: [int(v) for v in spec.limbs_to_ints(
+                np.asarray(from_mont_j(a)))]
+            return ProverCheckpoint(
+                next_step=next_step, z0=list(z0), steps=list(steps),
+                comm_Ts=list(comm_Ts), acc_u=acc_inst.u,
+                acc_X=list(acc_inst.X), acc_comm_W=acc_inst.comm_W,
+                acc_comm_E=acc_inst.comm_E,
+                acc_W=ints(acc_dev.W), acc_E=ints(acc_dev.E),
+                acc_az=ints(acc_dev.az), acc_bz=ints(acc_dev.bz),
+                acc_cz=ints(acc_dev.cz),
+                sponge_state=list(tr.sponge.state),
+                sponge_absorbed=tr.sponge._absorbed,
+                pp_digest=self.pp_digest)
+
+        done = start
         while done < n_steps:
             take = min(chunk_steps, n_steps - done)
             sl = canon_batch[done: done + take]
@@ -248,9 +451,13 @@ class IVC:
                 pad = jnp.zeros((chunk_steps - take,) + sl.shape[1:],
                                 sl.dtype)
                 sl = jnp.concatenate([sl, pad], axis=0)
+            if self.big_wit_idx is not None:
+                assert bool(check_small_b(sl[:, 1 + n_io:, :])), \
+                    f"witness value >= 2^{SMALL_BITS} outside big_wit_idx " \
+                    "(would truncate in the small-MSM fast path)"
             z_mont = to_mont_j(sl)
             az_b, bz_b, cz_b = matvec_b(z_mont)
-            comm_W_b = commit_b(sl[:, 1 + n_io:, :])
+            comm_W_b = commit_b(sl[:, 1 + n_io:, :], scaled_W)
             comm_W_aff = C.pt_to_affine_host(curve, comm_W_b)
 
             for k in range(take):
@@ -261,18 +468,14 @@ class IVC:
 
                 u_mont = self._scalar_mont(acc_inst.u)
                 T = cross_j(acc_dev, az, bz, cz, u_mont)
-                comm_T_dev = self.ck.commit(from_mont_j(T), max_bits=256)
+                if commT_j is None:
+                    comm_T_dev = self.ck.commit(from_mont_j(T), max_bits=256)
+                else:
+                    comm_T_dev = commT_j(from_mont_j(T))
                 comm_T = C.pt_to_affine_host(
                     curve, tuple(x[None] for x in comm_T_dev))[0]
 
-                tr.absorb_scalar(acc_inst.u)
-                tr.absorb_scalars(acc_inst.X)
-                tr.absorb_point(acc_inst.comm_W)
-                tr.absorb_point(acc_inst.comm_E)
-                tr.absorb_scalars(X_i)
-                tr.absorb_point(comm_W)
-                tr.absorb_point(comm_T)
-                r = tr.challenge()
+                r = self._fold_challenge(tr, acc_inst, X_i, comm_W, comm_T)
 
                 r_mont = self._scalar_mont(r)
                 acc_dev = foldw_j(acc_dev, z_mont[k, 1 + n_io:],
@@ -281,17 +484,15 @@ class IVC:
                                             comm_W, comm_T, r)
                 steps.append(StepClaim(X=X_i, comm_W=comm_W))
                 comm_Ts.append(comm_T)
+                if (checkpoint_every and checkpoint_path
+                        and (i + 1) % checkpoint_every == 0
+                        and i + 1 < n_steps):
+                    _checkpoint(i + 1).save(checkpoint_path)
             done += take
             if progress:
                 print(f"folded {done}/{n_steps} steps")
 
-        final_W = [int(v) for v in spec.limbs_to_ints(
-            np.asarray(from_mont_j(acc_dev.W)))]
-        final_E = [int(v) for v in spec.limbs_to_ints(
-            np.asarray(from_mont_j(acc_dev.E)))]
-        return IVCProof(z0=list(z0), steps=steps, comm_Ts=comm_Ts,
-                        final_W=final_W, final_E=final_E,
-                        pp_digest=self.pp_digest)
+        return self._finish_proof(z0, steps, comm_Ts, acc_dev)
 
     # -- verification -------------------------------------------------------
     def verify(self, proof: IVCProof, io_arity: int) -> List[int]:
@@ -304,9 +505,12 @@ class IVC:
         n_io = shape.n_io
         assert proof.pp_digest == self.pp_digest, "pp digest mismatch"
         assert proof.num_steps >= 1, "empty proof"
+        # Every step MUST contribute a cross-term: a trailing step without a
+        # matching comm_T would never be folded into the accumulator, letting
+        # a prover append a fabricated final state.
+        assert len(proof.comm_Ts) == proof.num_steps, "comm_T count mismatch"
 
-        tr = Transcript(spec.name + "", self.label, self.pp_digest)
-        tr.absorb_scalars([v % spec.p for v in proof.z0])
+        tr = self._new_transcript(proof.z0)
         acc_inst = NF.AccumulatorInstance(u=0, X=[0] * n_io)
 
         prev_out = [v % spec.p for v in proof.z0]
@@ -317,16 +521,13 @@ class IVC:
                 prev_out, "IO chaining broken"
             prev_out = [v % spec.p for v in step.X[:io_arity]]
 
-            tr.absorb_scalar(acc_inst.u)
-            tr.absorb_scalars(acc_inst.X)
-            tr.absorb_point(acc_inst.comm_W)
-            tr.absorb_point(acc_inst.comm_E)
-            tr.absorb_scalars(step.X)
-            tr.absorb_point(step.comm_W)
-            tr.absorb_point(comm_T)
-            r = tr.challenge()
+            r = self._fold_challenge(tr, acc_inst, step.X, step.comm_W,
+                                     comm_T)
             acc_inst = NF.fold_instance(spec, curve, acc_inst, step.X,
                                         step.comm_W, comm_T, r)
+        # The returned z_final is the last folded step's output.
+        assert prev_out == [v % spec.p
+                            for v in proof.steps[-1].X[:io_arity]]
 
         # Openings.
         W_canon = jnp.asarray(spec.batch_to_limbs(proof.final_W))
@@ -358,3 +559,29 @@ class IVC:
         assert bool(ok), "relaxed R1CS not satisfied"
 
         return proof.steps[-1].X[:io_arity]
+
+    def fold_instances_only(self, proof: IVCProof,
+                            io_arity: int) -> NF.AccumulatorInstance:
+        """Replay the transcript/instance folding WITHOUT the final witness
+        openings — the verifier half used when a compressed SNARK
+        (nova/spartan.py) proves the folded instance instead of shipping
+        final_W/final_E."""
+        shape, spec, curve = self.shape, self.shape.field, self.curve
+        n_io = shape.n_io
+        assert proof.pp_digest == self.pp_digest, "pp digest mismatch"
+        assert proof.num_steps >= 1, "empty proof"
+        assert len(proof.comm_Ts) == proof.num_steps, "comm_T count mismatch"
+
+        tr = self._new_transcript(proof.z0)
+        acc_inst = NF.AccumulatorInstance(u=0, X=[0] * n_io)
+        prev_out = [v % spec.p for v in proof.z0]
+        for step, comm_T in zip(proof.steps, proof.comm_Ts):
+            assert len(step.X) == n_io
+            assert [v % spec.p for v in step.X[io_arity: 2 * io_arity]] == \
+                prev_out, "IO chaining broken"
+            prev_out = [v % spec.p for v in step.X[:io_arity]]
+            r = self._fold_challenge(tr, acc_inst, step.X, step.comm_W,
+                                     comm_T)
+            acc_inst = NF.fold_instance(spec, curve, acc_inst, step.X,
+                                        step.comm_W, comm_T, r)
+        return acc_inst

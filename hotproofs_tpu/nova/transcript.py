@@ -39,13 +39,18 @@ class Transcript:
             self.absorb_scalar(v)
 
     def absorb_point(self, pt: Optional[Tuple[int, int]]) -> None:
-        """pt is affine (x, y) ints or None for infinity."""
+        """pt is affine (x, y) ints or None for infinity.
+
+        Fixed-width encoding — ALWAYS 5 sponge elements
+        (x_lo, x_hi, y_lo, y_hi, infinity_flag) — so every absorb sequence
+        has a unique parse; a variable-length point encoding would let
+        scalar/point boundaries shift between colliding transcripts."""
         if pt is None:
-            self.sponge.absorb([0, 0, 1])
+            self.sponge.absorb([0, 0, 0, 0, 1])
         else:
             x, y = pt
             self.sponge.absorb([x & HALF_MASK, x >> HALF_BITS,
-                                y & HALF_MASK, y >> HALF_BITS])
+                                y & HALF_MASK, y >> HALF_BITS, 0])
 
     def challenge(self) -> int:
         return self.sponge.squeeze()

@@ -41,3 +41,45 @@ def test_batch_commit_sharded(setup):
     out = batch_commit_sharded(spec, mesh, batch, pts, max_bits=40)
     affs = C.pt_to_affine_host(spec, out)
     assert all(a == expected for a in affs)
+
+
+def test_prove_batch_on_mesh_same_proof():
+    """Flagship wiring: prove_batch with a step x msm mesh produces the
+    exact same proof as single-device (commitments are deterministic)."""
+    from hotproofs_tpu.circuits import gadgets as g
+    from hotproofs_tpu.circuits.dsl import compile_circuit, eval_witness
+    from hotproofs_tpu.circuits.blake3_compression import VESTA_PRIME
+    from hotproofs_tpu.nova.ivc import IVC
+    from hotproofs_tpu.nova.pedersen import CommitmentKey
+    from hotproofs_tpu.nova.r1cs import ShapeDevice
+    import numpy as np
+
+    def toy_step(ctx):
+        z_out = ctx.declare_output("z_out", 1)
+        z_in = ctx.declare_input("z_in", 1, public=True)
+        sq = g.mul(ctx, z_in[0], z_in[0], name="sq")
+        cube = g.mul(ctx, sq, z_in[0], name="cube")
+        ctx.bind(z_out[0], cube + 7)
+
+    p = VESTA_PRIME
+    r1cs, layout = compile_circuit(toy_step, p)
+    shape = ShapeDevice.from_dsl(r1cs)
+    ck = CommitmentKey.create(C.PALLAS, b"toy-mesh",
+                              max(shape.n_wit, shape.n_cons))
+    ivc = IVC(shape, C.PALLAS, ck, None)
+
+    z = 3
+    wits = []
+    for _ in range(4):
+        w = eval_witness(toy_step, layout, {"z_in": [z]})
+        wits.append([int(v) for v in w])
+        z = (pow(z, 3, p) + 7) % p
+    spec = shape.field
+    canon = jnp.asarray(np.stack([spec.batch_to_limbs(w) for w in wits]))
+    X_host = [[int(v) % p for v in w[1:1 + shape.n_io]] for w in wits]
+
+    base = ivc.prove_batch([3], canon, X_host, chunk_steps=4)
+    mesh = make_mesh(step=2, msm=4)
+    sharded = ivc.prove_batch([3], canon, X_host, chunk_steps=4, mesh=mesh)
+    assert base.to_dict() == sharded.to_dict()
+    assert ivc.verify(sharded, io_arity=1) == base.z_final(1)
