@@ -9,8 +9,8 @@ The verifier recomputes the root hash from the final IVC state z[2:10]
 
 Usage (CLI):
     python -m hotproofs_tpu.models.chunk_prover prove --file F --chunk 0 \
-        --out proof.pkl
-    python -m hotproofs_tpu.models.chunk_prover verify --proof proof.pkl \
+        --out proof.json [--compress]
+    python -m hotproofs_tpu.models.chunk_prover verify --proof proof.json \
         --expect-hash HEX
 """
 
@@ -29,6 +29,7 @@ from ..core import blake3_ref as b3
 from ..circuits import blake3_nova as nova_circ
 from ..circuits.blake3_compression import VESTA_PRIME
 from ..circuits.dsl import eval_witness
+from ..nova import serial
 from ..nova.ivc import IVC, IVCProof
 from ..nova.pedersen import SMALL_BITS, CommitmentKey
 from ..nova.r1cs import ShapeDevice
@@ -56,7 +57,11 @@ def _build_stack(curve_name: str = "pallas"):
     modulus = curve.scalar.p
     r1cs, layout = nova_circ.get_nova_step_circuit(modulus, 0)
     shape = ShapeDevice.from_dsl(r1cs)
+    # Power-of-two key size: the Spartan IPA openings fold the generator
+    # vector in halves (nova/spartan.py); commitments only use a prefix, so
+    # the extra generators are free for the plain fold path.
     n = max(shape.n_wit, shape.n_cons)
+    n = 1 << (n - 1).bit_length()
     ck = CommitmentKey.create(curve, b"blake3-nova", n)
     big_idx = _big_witness_indices(layout, shape.n_io)
     ivc = IVC(shape, curve, ck, big_idx, label=b"blake3-chunk")
@@ -74,15 +79,61 @@ class ChunkProof:
     total_depth: int
 
     def save(self, path: str) -> None:
-        import pickle
-        with open(path, "wb") as f:
-            pickle.dump(self, f)
+        serial.dump("chunk_proof", {
+            "ivc_proof": self.ivc_proof.to_dict(),
+            "chunk_idx": int(self.chunk_idx),
+            "n_blocks": int(self.n_blocks),
+            "leaf_depth": int(self.leaf_depth),
+            "total_depth": int(self.total_depth),
+        }, path)
 
     @staticmethod
     def load(path: str) -> "ChunkProof":
-        import pickle
-        with open(path, "rb") as f:
-            return pickle.load(f)
+        d = serial.load("chunk_proof", path)
+        return ChunkProof(
+            ivc_proof=IVCProof.from_dict(d["ivc_proof"]),
+            chunk_idx=int(d["chunk_idx"]), n_blocks=int(d["n_blocks"]),
+            leaf_depth=int(d["leaf_depth"]),
+            total_depth=int(d["total_depth"]))
+
+
+@dataclass
+class CompressedChunkProof:
+    """Succinct proof + public statement: the chain's per-step instances
+    plus a Spartan argument — no accumulator witness vectors (the reference
+    parity point: CompressedSNARK output, main.rs:341-346)."""
+
+    compressed: "object"   # nova.spartan.CompressedProof
+    chunk_idx: int
+    n_blocks: int
+    leaf_depth: int
+    total_depth: int
+
+    def save(self, path: str) -> None:
+        serial.dump("compressed_chunk_proof", {
+            "compressed": {
+                "chain": self.compressed.chain.to_dict(),
+                "spartan": self.compressed.spartan.to_dict(),
+            },
+            "chunk_idx": int(self.chunk_idx),
+            "n_blocks": int(self.n_blocks),
+            "leaf_depth": int(self.leaf_depth),
+            "total_depth": int(self.total_depth),
+        }, path)
+
+    @staticmethod
+    def load(path: str) -> "CompressedChunkProof":
+        from ..nova.spartan import CompressedProof, SpartanProof
+        d = serial.load("compressed_chunk_proof", path)
+        cd = d["compressed"]
+        cp = CompressedProof(
+            chain=IVCProof.from_dict(cd["chain"]),
+            spartan=SpartanProof.from_dict(cd["spartan"]))
+        return CompressedChunkProof(
+            compressed=cp,
+            chunk_idx=int(d["chunk_idx"]), n_blocks=int(d["n_blocks"]),
+            leaf_depth=int(d["leaf_depth"]),
+            total_depth=int(d["total_depth"]))
 
 
 class ChunkProver:
@@ -90,13 +141,14 @@ class ChunkProver:
 
     def __init__(self, curve: str = "pallas"):
         self.ivc, self.layout, self.modulus = _build_stack(curve)
+        self._spartan = None
 
     # ------------------------------------------------------------------
     def prove(self, data: bytes, chunk_idx: int, progress: bool = False,
-              fast: bool = True) -> Tuple[bytes, ChunkProof]:
+              fast: bool = True, mesh=None) -> Tuple[bytes, ChunkProof]:
         proof_data = b3.hash_with_path(data, chunk_idx)
         if fast:
-            sched, ivc_proof = self._prove_fast(proof_data, progress)
+            sched, ivc_proof = self._prove_fast(proof_data, progress, mesh)
         else:
             sched, ivc_proof = self._prove_host(proof_data, progress)
         chunk_proof = ChunkProof(
@@ -108,7 +160,7 @@ class ChunkProver:
         )
         return proof_data.root_hash, chunk_proof
 
-    def _prove_fast(self, proof_data, progress: bool):
+    def _prove_fast(self, proof_data, progress: bool, mesh=None):
         """Batched device pipeline: all step witnesses in ONE kernel call
         (z chain precomputed host-side from the hash chain), batched SpMVs
         and W-commits, then the sequential fold loop."""
@@ -146,7 +198,7 @@ class ChunkProver:
 
         X_host = [list(zs[i + 1]) + list(zs[i]) for i in range(n)]
         proof = self.ivc.prove_batch(sched.z0, canon, X_host,
-                                     progress=progress)
+                                     progress=progress, mesh=mesh)
         return sched, proof
 
     def _prove_host(self, proof_data, progress: bool):
@@ -166,32 +218,66 @@ class ChunkProver:
                                      progress=progress)
 
     # ------------------------------------------------------------------
-    def verify(self, proof: ChunkProof,
-               expected_hash: Optional[bytes] = None) -> bytes:
-        """Verify the fold chain and statement; returns the proven root hash.
-
-        Statement checks mirror z0 construction (main.rs:130-145) and the
-        final-state extraction (main.rs:195-201): z0 must encode (IV, depth =
-        leaf_depth-1, block_count=0, the claimed chunk_idx); the final state
-        must have consumed all blocks and reached the root (depth 0)."""
-        z0 = proof.ivc_proof.z0
-        expected_z0 = ([proof.n_blocks, 0] + list(b3.IV)
-                       + [proof.total_depth, proof.leaf_depth - 1,
-                          proof.chunk_idx & 0xFFFFFFFF,
-                          proof.chunk_idx >> 32, proof.leaf_depth])
+    def _check_statement(self, z0, num_steps, chunk_idx, n_blocks,
+                         leaf_depth, total_depth) -> None:
+        """Statement checks mirroring z0 construction (main.rs:130-145):
+        z0 must encode (IV, depth = leaf_depth-1, block_count=0, the
+        claimed chunk_idx); the step count must match the schedule."""
+        expected_z0 = ([n_blocks, 0] + list(b3.IV)
+                       + [total_depth, leaf_depth - 1,
+                          chunk_idx & 0xFFFFFFFF,
+                          chunk_idx >> 32, leaf_depth])
         assert [v % self.modulus for v in z0] == \
             [v % self.modulus for v in expected_z0], "z0 mismatch"
-        expected_steps = proof.n_blocks + proof.leaf_depth - 1
-        assert proof.ivc_proof.num_steps == expected_steps, "step count"
+        assert num_steps == n_blocks + leaf_depth - 1, "step count"
 
-        z_final = self.ivc.verify(proof.ivc_proof, io_arity=IO_ARITY)
-        assert z_final[0] == proof.n_blocks
-        assert z_final[1] == proof.n_blocks, "not all blocks absorbed"
+    def _check_final(self, z_final, n_blocks,
+                     expected_hash: Optional[bytes]) -> bytes:
+        """Final-state extraction (main.rs:195-201): all blocks consumed,
+        root reached (depth 0); hash = z[2:10] as LE words."""
+        assert z_final[0] == n_blocks
+        assert z_final[1] == n_blocks, "not all blocks absorbed"
         assert z_final[11] == 0, "did not reach the root"
         root = b"".join(int(w).to_bytes(4, "little") for w in z_final[2:10])
         if expected_hash is not None:
             assert root == expected_hash, "root hash mismatch"
         return root
+
+    def verify(self, proof: ChunkProof,
+               expected_hash: Optional[bytes] = None) -> bytes:
+        """Verify the fold chain and statement; returns the proven root."""
+        self._check_statement(
+            proof.ivc_proof.z0, proof.ivc_proof.num_steps, proof.chunk_idx,
+            proof.n_blocks, proof.leaf_depth, proof.total_depth)
+        z_final = self.ivc.verify(proof.ivc_proof, io_arity=IO_ARITY)
+        return self._check_final(z_final, proof.n_blocks, expected_hash)
+
+    # ------------------------------------------------------------------
+    @property
+    def spartan(self):
+        """Lazily-built Spartan compression system for this circuit/key."""
+        if self._spartan is None:
+            from ..nova.spartan import SpartanSystem
+            self._spartan = SpartanSystem(self.ivc)
+        return self._spartan
+
+    def compress(self, proof: ChunkProof) -> CompressedChunkProof:
+        """Compress a chunk proof: drop the accumulator witness, attach the
+        Spartan argument (reference parity: compress_snark, main.rs:260)."""
+        cp = self.spartan.compress(proof.ivc_proof, io_arity=IO_ARITY)
+        return CompressedChunkProof(
+            compressed=cp, chunk_idx=proof.chunk_idx,
+            n_blocks=proof.n_blocks, leaf_depth=proof.leaf_depth,
+            total_depth=proof.total_depth)
+
+    def verify_compressed(self, proof: CompressedChunkProof,
+                          expected_hash: Optional[bytes] = None) -> bytes:
+        self._check_statement(
+            proof.compressed.chain.z0, proof.compressed.num_steps,
+            proof.chunk_idx, proof.n_blocks, proof.leaf_depth,
+            proof.total_depth)
+        z_final = self.spartan.verify(proof.compressed, io_arity=IO_ARITY)
+        return self._check_final(z_final, proof.n_blocks, expected_hash)
 
 
 def main(argv=None):
@@ -200,7 +286,9 @@ def main(argv=None):
     p1 = sub.add_parser("prove")
     p1.add_argument("--file", required=True)
     p1.add_argument("--chunk", type=int, default=0)
-    p1.add_argument("--out", default="proof.pkl")
+    p1.add_argument("--out", default="proof.json")
+    p1.add_argument("--compress", action="store_true",
+                    help="emit a succinct compressed proof (Spartan+IPA)")
     p1.add_argument("--platform", default=None)
     p2 = sub.add_parser("verify")
     p2.add_argument("--proof", required=True)
@@ -218,19 +306,31 @@ def main(argv=None):
         t0 = time.time()
         root, proof = prover.prove(data, args.chunk, progress=True)
         dt = time.time() - t0
-        proof.save(args.out)
         n = proof.ivc_proof.num_steps
         print(f"root hash: {root.hex()}")
         print(f"steps: {n}  time: {dt:.2f}s  folds/sec: {n / dt:.3f}")
+        if args.compress:
+            t0 = time.time()
+            cproof = prover.compress(proof)
+            cproof.save(args.out)
+            print(f"compressed in {time.time() - t0:.2f}s")
+        else:
+            proof.save(args.out)
         print(f"proof written to {args.out}")
     else:
-        proof = ChunkProof.load(args.proof)
         prover = ChunkProver()
-        t0 = time.time()
         expect = bytes.fromhex(args.expect_hash) if args.expect_hash else None
-        root = prover.verify(proof, expect)
+        t0 = time.time()
+        try:
+            proof = ChunkProof.load(args.proof)
+            root = prover.verify(proof, expect)
+            n = proof.ivc_proof.num_steps
+        except ValueError:
+            cproof = CompressedChunkProof.load(args.proof)
+            root = prover.verify_compressed(cproof, expect)
+            n = cproof.compressed.num_steps
         print(f"VERIFIED root hash: {root.hex()}  "
-              f"({time.time() - t0:.2f}s, {proof.ivc_proof.num_steps} steps)")
+              f"({time.time() - t0:.2f}s, {n} steps)")
 
 
 if __name__ == "__main__":

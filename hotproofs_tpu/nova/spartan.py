@@ -1,0 +1,690 @@
+"""Spartan-style succinct compression of the folded relaxed R1CS claim.
+
+Capability equivalent of the reference's CompressedSNARK stage
+(rust_fold/src/main.rs:260-315: arecibo CompressedSNARK::prove with a
+Spartan ppsnark + IPA/ZeroMorph PCS): after the IVC fold chain, the prover
+no longer ships the accumulator witness vectors W and E (round-1's proof
+carried both, ~2x16k field elements).  Instead it proves satisfaction of the
+folded relaxed R1CS instance (u, X, comm_W, comm_E) succinctly:
+
+  * sum-check #1 over s = log2(m) variables, degree 3 per variable:
+        0 = sum_x eq(tau, x) * (Az(x)*Bz(x) - u*Cz(x) - E(x))
+    reducing to claimed evaluations vA, vB, vC, vE at a random point r_x;
+  * sum-check #2 over nu = log2(n) variables, degree 2, reducing the
+    random linear combination cA*vA + cB*vB + cC*vC to one evaluation
+    z~(r_y) of the z = (u, X, W) multilinear extension (the verifier
+    evaluates the matrix MLE L~(r_y) itself from the sparse A/B/C — the
+    plain-Spartan tradeoff: O(nnz) verifier field work, no matrix
+    commitments; arecibo's ppsnark preprocesses these);
+  * two inner-product arguments (Bulletproofs/halo-style IPA over the
+    Pedersen commitment key) opening  W~(r_y)  against comm_W  and
+    E~(r_x)  against comm_E — proof size O(log n) group elements.
+
+All heavy prover work (eq tables, sum-check round evaluations, SpMV,
+MSMs, generator folds) is batched device math on the existing limb
+kernels; only transcript hashing and tiny scalar bookkeeping run host-side.
+
+TPU design notes: sum-check rounds are wide elementwise field ops + a
+log-depth modular reduction — MXU/VPU-friendly with no data-dependent
+control flow; array sizes halve per round so each of the ~14+14 round
+programs jit-caches once per shape.  The IPA's per-round generator fold is
+a uniform-scalar double-and-add scan (the same complete-formula curve
+kernels as the MSM path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import curve as C
+from ..ops import field as F
+from ..ops import msm as M
+from . import serial
+from .fold import AccumulatorInstance
+from .ivc import IVC, IVCProof
+from .r1cs import SparseMat, _mat_from_coo, matvec_all, spmv
+from .transcript import Transcript
+
+Affine = Optional[Tuple[int, int]]
+
+
+def _next_pow2(n: int) -> int:
+    k = 1
+    while k < n:
+        k <<= 1
+    return k
+
+
+def _modsum(spec: F.FieldSpec, v: jnp.ndarray) -> jnp.ndarray:
+    """Log-depth modular sum over axis 0 of (n, 32) limb vectors."""
+    n = v.shape[0]
+    while n > 1:
+        if n % 2:
+            v = jnp.concatenate(
+                [v, jnp.zeros((1, F.N_LIMBS), jnp.int32)], axis=0)
+            n += 1
+        v = F.add(spec, v[: n // 2], v[n // 2:])
+        n //= 2
+    return v[0]
+
+
+def _eq_table_host(p: int, rs: Sequence[int]) -> List[int]:
+    """eq(r, x) for all x in {0,1}^k; index bit order: rs[0] is the MSB
+    (matching the sum-check's arr[:h]/arr[h:] variable binding)."""
+    e = [1]
+    for r in reversed(list(rs)):
+        r = r % p
+        lo = [(1 - r) % p * v % p for v in e]
+        hi = [r * v % p for v in e]
+        e = lo + hi
+    return e
+
+
+def _eq_point_host(p: int, a: Sequence[int], b: Sequence[int]) -> int:
+    acc = 1
+    for x, y in zip(a, b):
+        acc = acc * ((1 - x) * (1 - y) + x * y) % p
+    return acc
+
+
+def _interp_eval(p: int, ys: Sequence[int], r: int) -> int:
+    """Evaluate the unique degree-(k-1) poly through (i, ys[i]) at r."""
+    k = len(ys)
+    total = 0
+    for i in range(k):
+        num, den = 1, 1
+        for j in range(k):
+            if j != i:
+                num = num * (r - j) % p
+                den = den * (i - j) % p
+        total = (total + ys[i] * num * pow(den, p - 2, p)) % p
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Inner-product argument (non-hiding Bulletproofs IPA over the Pedersen key).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IPAProof:
+    Ls: List[Affine]
+    Rs: List[Affine]
+    a_final: int
+
+    def to_dict(self) -> dict:
+        return {"Ls": serial.enc_points(self.Ls),
+                "Rs": serial.enc_points(self.Rs),
+                "a_final": int(self.a_final)}
+
+    @staticmethod
+    def from_dict(d: dict) -> "IPAProof":
+        return IPAProof(Ls=serial.dec_points(d["Ls"]),
+                        Rs=serial.dec_points(d["Rs"]),
+                        a_final=int(d["a_final"]))
+
+
+class _IPA:
+    """Prover/verifier for <a, b> = v with P = <a, G> Pedersen-committed.
+
+    a is secret (committed), b is public. U is an independent generator; the
+    claimed value is bound via P' = P + v*(c*U) with a transcript challenge
+    c drawn after absorbing (P, v)."""
+
+    def __init__(self, curve: C.CurveSpec, fspec: F.FieldSpec,
+                 U_affine: Tuple[int, int]):
+        self.curve = curve
+        self.fspec = fspec
+        self.U_affine = U_affine
+        self._jits = {}
+
+    def _scal_limbs(self, v: int) -> jnp.ndarray:
+        return jnp.asarray(F.int_to_limbs(v % self.fspec.p))
+
+    def _mont(self, v: int) -> jnp.ndarray:
+        s = self.fspec
+        return jnp.asarray(F.int_to_limbs(v % s.p * s.r_mod_p % s.p))
+
+    def _pre(self, h: int):
+        key = ("pre", h)
+        if key not in self._jits:
+            cv, fs = self.curve, self.fspec
+
+            def fn(a, b, G, Uc):
+                a_lo, a_hi = a[:h], a[h:]
+                b_lo, b_hi = b[:h], b[h:]
+                G_lo = tuple(x[:h] for x in G)
+                G_hi = tuple(x[h:] for x in G)
+                cl = _modsum(fs, F.mont_mul(fs, a_lo, b_hi))
+                cr = _modsum(fs, F.mont_mul(fs, a_hi, b_lo))
+                L = C.pt_add(cv, M.msm(cv, F.from_mont(fs, a_lo), G_hi),
+                             C.pt_scalar_mul(cv, F.from_mont(fs, cl), Uc))
+                R = C.pt_add(cv, M.msm(cv, F.from_mont(fs, a_hi), G_lo),
+                             C.pt_scalar_mul(cv, F.from_mont(fs, cr), Uc))
+                return L, R
+
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _fold(self, h: int):
+        key = ("fold", h)
+        if key not in self._jits:
+            cv, fs = self.curve, self.fspec
+
+            def fn(a, b, G, xm, xim, x_l, xi_l):
+                a2 = F.add(fs, F.mont_mul(fs, xm[None], a[:h]),
+                           F.mont_mul(fs, xim[None], a[h:]))
+                b2 = F.add(fs, F.mont_mul(fs, xim[None], b[:h]),
+                           F.mont_mul(fs, xm[None], b[h:]))
+                G2 = C.pt_add(
+                    cv,
+                    C.pt_scalar_mul(cv, xi_l, tuple(x[:h] for x in G)),
+                    C.pt_scalar_mul(cv, x_l, tuple(x[h:] for x in G)))
+                return a2, b2, G2
+
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _fold_b(self, h: int):
+        key = ("foldb", h)
+        if key not in self._jits:
+            fs = self.fspec
+
+            def fn(b, xm, xim):
+                return F.add(fs, F.mont_mul(fs, xim[None], b[:h]),
+                             F.mont_mul(fs, xm[None], b[h:]))
+
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _u_point(self, tr: Transcript, P_aff: Affine, v: int):
+        p = self.fspec.p
+        tr.absorb_point(P_aff)
+        tr.absorb_scalar(v)
+        c = tr.challenge()
+        Uc_aff = C.host_scalar_mul(self.curve, c, self.U_affine)
+        return Uc_aff
+
+    def prove(self, tr: Transcript, gens: C.Point, a_mont: jnp.ndarray,
+              b_mont: jnp.ndarray, P_aff: Affine, v: int) -> IPAProof:
+        cv, fs = self.curve, self.fspec
+        p = fs.p
+        Uc_aff = self._u_point(tr, P_aff, v)
+        Uc = C.pt_from_affine(cv, *Uc_aff)
+        n = a_mont.shape[0]
+        assert n & (n - 1) == 0, "IPA length must be a power of two"
+        a, b, G = a_mont, b_mont, gens
+        Ls: List[Affine] = []
+        Rs: List[Affine] = []
+        while n > 1:
+            h = n // 2
+            L_dev, R_dev = self._pre(h)(a, b, G, Uc)
+            L_aff = C.pt_to_affine_host(cv, tuple(x[None] for x in L_dev))[0]
+            R_aff = C.pt_to_affine_host(cv, tuple(x[None] for x in R_dev))[0]
+            tr.absorb_point(L_aff)
+            tr.absorb_point(R_aff)
+            x = tr.challenge()
+            xi = pow(x, p - 2, p)
+            a, b, G = self._fold(h)(
+                a, b, G, self._mont(x), self._mont(xi),
+                self._scal_limbs(x), self._scal_limbs(xi))
+            Ls.append(L_aff)
+            Rs.append(R_aff)
+            n = h
+        a_final = int(fs.limbs_to_ints(
+            np.asarray(F.jitted("from_mont", fs)(a))).ravel()[0])
+        return IPAProof(Ls=Ls, Rs=Rs, a_final=a_final)
+
+    def verify(self, tr: Transcript, gens: C.Point, b_mont: jnp.ndarray,
+               P_aff: Affine, v: int, proof: IPAProof) -> bool:
+        cv, fs = self.curve, self.fspec
+        p = fs.p
+        Uc_aff = self._u_point(tr, P_aff, v)
+        n = b_mont.shape[0]
+        k = n.bit_length() - 1
+        if len(proof.Ls) != k or len(proof.Rs) != k:
+            return False
+        b = b_mont
+        xs: List[int] = []
+        for L_aff, R_aff in zip(proof.Ls, proof.Rs):
+            tr.absorb_point(L_aff)
+            tr.absorb_point(R_aff)
+            x = tr.challenge()
+            xi = pow(x, p - 2, p)
+            h = b.shape[0] // 2
+            b = self._fold_b(h)(b, self._mont(x), self._mont(xi))
+            xs.append(x)
+        b0 = int(fs.limbs_to_ints(
+            np.asarray(F.jitted("from_mont", fs)(b))).ravel()[0])
+        # Weight vector for the folded generator: w_i = prod_t x_t^{+-1}
+        # with xs[t] applied at bit t (MSB first), exponent -1 on the low
+        # half (G' = x^-1 G_lo + x G_hi).
+        w = np.ones(1, dtype=object)
+        for x in xs:
+            xi = pow(x, p - 2, p)
+            w = np.stack([w * xi % p, w * x % p], axis=-1).ravel()
+        w_limbs = jnp.asarray(np.stack(
+            [F.int_to_limbs(int(v_) % p) for v_ in w]).astype(np.int32))
+        key = ("gmsm", n)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(
+                lambda s, g: M.msm(cv, s, g, max_bits=256))
+        G0_dev = self._jits[key](w_limbs, gens)
+        G0_aff = C.pt_to_affine_host(cv, tuple(x[None] for x in G0_dev))[0]
+
+        a0 = proof.a_final % p
+        lhs = C.host_add(
+            cv, C.host_scalar_mul(cv, a0, G0_aff),
+            C.host_scalar_mul(cv, a0 * b0 % p, Uc_aff))
+        rhs = C.host_add(cv, P_aff, C.host_scalar_mul(cv, v % p, Uc_aff))
+        for x, L_aff, R_aff in zip(xs, proof.Ls, proof.Rs):
+            x2 = x * x % p
+            xi2 = pow(x2, p - 2, p)
+            rhs = C.host_add(cv, rhs, C.host_scalar_mul(cv, x2, L_aff))
+            rhs = C.host_add(cv, rhs, C.host_scalar_mul(cv, xi2, R_aff))
+        return lhs == rhs
+
+
+# ---------------------------------------------------------------------------
+# The compressed proof object.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SpartanProof:
+    sc1_evals: List[List[int]]   # per round, g(0..3)
+    vA: int
+    vB: int
+    vC: int
+    vE: int
+    sc2_evals: List[List[int]]   # per round, h(0..2)
+    ipa_W: IPAProof
+    ipa_E: IPAProof
+
+    def to_dict(self) -> dict:
+        return {
+            "sc1_evals": [serial.enc_ints(e) for e in self.sc1_evals],
+            "vA": int(self.vA), "vB": int(self.vB),
+            "vC": int(self.vC), "vE": int(self.vE),
+            "sc2_evals": [serial.enc_ints(e) for e in self.sc2_evals],
+            "ipa_W": self.ipa_W.to_dict(),
+            "ipa_E": self.ipa_E.to_dict(),
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "SpartanProof":
+        return SpartanProof(
+            sc1_evals=[serial.enc_ints(e) for e in d["sc1_evals"]],
+            vA=int(d["vA"]), vB=int(d["vB"]),
+            vC=int(d["vC"]), vE=int(d["vE"]),
+            sc2_evals=[serial.enc_ints(e) for e in d["sc2_evals"]],
+            ipa_W=IPAProof.from_dict(d["ipa_W"]),
+            ipa_E=IPAProof.from_dict(d["ipa_E"]))
+
+
+@dataclass
+class CompressedProof:
+    """IVC chain claims (per-step instances) + Spartan argument; the
+    accumulator witness vectors are NOT shipped (chain.final_W/E empty)."""
+
+    chain: IVCProof
+    spartan: SpartanProof
+
+    @property
+    def num_steps(self) -> int:
+        return self.chain.num_steps
+
+    def save(self, path: str) -> None:
+        serial.dump("compressed_proof", {
+            "chain": self.chain.to_dict(),
+            "spartan": self.spartan.to_dict(),
+        }, path)
+
+    @staticmethod
+    def load(path: str) -> "CompressedProof":
+        d = serial.load("compressed_proof", path)
+        return CompressedProof(
+            chain=IVCProof.from_dict(d["chain"]),
+            spartan=SpartanProof.from_dict(d["spartan"]))
+
+
+# ---------------------------------------------------------------------------
+# The Spartan system bound to one IVC (shape + key).
+# ---------------------------------------------------------------------------
+
+
+class SpartanSystem:
+    def __init__(self, ivc: IVC):
+        self.ivc = ivc
+        shape = ivc.shape
+        self.fspec = shape.field
+        self.curve = ivc.curve
+        p = self.fspec.p
+        self.m = _next_pow2(shape.n_cons)          # sum-check 1 domain
+        self.nz = _next_pow2(shape.n_vars)         # sum-check 2 domain
+        self.n_ipa_w = _next_pow2(shape.n_wit)
+        self.n_ipa_e = self.m
+        need = max(self.n_ipa_w, self.n_ipa_e)
+        assert ivc.ck.n >= need, \
+            f"commitment key too small for IPA: has {ivc.ck.n}, need {need}" \
+            " (create the key with a power-of-two size >= max(n_wit, n_cons))"
+        # Transposed matrices: L[y] = sum_x eq_rx[x] * M[x, y]  as an SpMV
+        # over the column-sorted COO (same segmented-scan kernel).
+        rinv = pow(self.fspec.r_mod_p, p - 2, p)
+        self.matT = []
+        for mat in (shape.A, shape.B, shape.C):
+            vals = [int(v) * rinv % p
+                    for v in self.fspec.limbs_to_ints(mat.vals_mont)]
+            self.matT.append(_mat_from_coo(
+                self.fspec, np.asarray(mat.cols), np.asarray(mat.rows),
+                np.asarray(vals, dtype=object), shape.n_vars))
+        (ux, uy), = C.derive_generators(self.curve, b"spartan-ipa-u", 1)
+        self.ipa = _IPA(self.curve, self.fspec, (ux, uy))
+        self._jits = {}
+
+    # -- shared helpers -----------------------------------------------------
+    def _mont(self, v: int) -> jnp.ndarray:
+        s = self.fspec
+        return jnp.asarray(F.int_to_limbs(v % s.p * s.r_mod_p % s.p))
+
+    def _eq_dev(self, rs: Sequence[int]) -> jnp.ndarray:
+        p = self.fspec.p
+        tbl = _eq_table_host(p, rs)
+        canon = jnp.asarray(self.fspec.batch_to_limbs(tbl))
+        return F.jitted("to_mont", self.fspec)(canon)
+
+    def _ints(self, arr) -> List[int]:
+        return [int(v) for v in self.fspec.limbs_to_ints(
+            np.asarray(F.jitted("from_mont", self.fspec)(arr)))]
+
+    def _transcript(self, inst: AccumulatorInstance) -> Transcript:
+        tr = Transcript(self.fspec.name + "", b"spartan",
+                        self.ivc.pp_digest)
+        tr.absorb_scalar(inst.u)
+        tr.absorb_scalars(inst.X)
+        tr.absorb_point(inst.comm_W)
+        tr.absorb_point(inst.comm_E)
+        return tr
+
+    def _sc1_evals_fn(self, size: int):
+        key = ("sc1e", size)
+        if key not in self._jits:
+            fs = self.fspec
+            h = size // 2
+
+            def fn(eqv, az, bz, cz, e, u):
+                parts = [(x[:h], x[h:]) for x in (eqv, az, bz, cz, e)]
+                diffs = [F.sub(fs, hi, lo) for lo, hi in parts]
+                cur = [lo for lo, _ in parts]
+                outs = []
+                for t in range(4):
+                    if t == 1:
+                        cur = [hi for _, hi in parts]
+                    elif t >= 2:
+                        cur = [F.add(fs, c, d)
+                               for c, d in zip(cur, diffs)]
+                    eq_t, az_t, bz_t, cz_t, e_t = cur
+                    inner = F.sub(
+                        fs, F.mont_mul(fs, az_t, bz_t),
+                        F.add(fs, F.mont_mul(fs, u[None], cz_t), e_t))
+                    outs.append(_modsum(fs, F.mont_mul(fs, eq_t, inner)))
+                return jnp.stack(outs)
+
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _sc1_fold_fn(self, size: int):
+        key = ("sc1f", size)
+        if key not in self._jits:
+            fs = self.fspec
+            h = size // 2
+
+            def fn(eqv, az, bz, cz, e, r):
+                def fold(x):
+                    return F.add(fs, x[:h],
+                                 F.mont_mul(fs, r[None],
+                                            F.sub(fs, x[h:], x[:h])))
+                return tuple(fold(x) for x in (eqv, az, bz, cz, e))
+
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _sc2_evals_fn(self, size: int):
+        key = ("sc2e", size)
+        if key not in self._jits:
+            fs = self.fspec
+            h = size // 2
+
+            def fn(L, z):
+                parts = [(x[:h], x[h:]) for x in (L, z)]
+                diffs = [F.sub(fs, hi, lo) for lo, hi in parts]
+                cur = [lo for lo, _ in parts]
+                outs = []
+                for t in range(3):
+                    if t == 1:
+                        cur = [hi for _, hi in parts]
+                    elif t == 2:
+                        cur = [F.add(fs, c, d)
+                               for c, d in zip(cur, diffs)]
+                    outs.append(_modsum(fs, F.mont_mul(fs, *cur)))
+                return jnp.stack(outs)
+
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _sc2_fold_fn(self, size: int):
+        key = ("sc2f", size)
+        if key not in self._jits:
+            fs = self.fspec
+            h = size // 2
+
+            def fn(L, z, r):
+                def fold(x):
+                    return F.add(fs, x[:h],
+                                 F.mont_mul(fs, r[None],
+                                            F.sub(fs, x[h:], x[:h])))
+                return fold(L), fold(z)
+
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def _L_vector(self, eq_rx_mont, cA: int, cB: int, cC: int):
+        key = "lvec"
+        if key not in self._jits:
+            fs = self.fspec
+
+            def fn(eqv, ca, cb, cc):
+                LA = spmv(fs, self.matT[0], eqv)
+                LB = spmv(fs, self.matT[1], eqv)
+                LC = spmv(fs, self.matT[2], eqv)
+                return F.add(
+                    fs, F.add(fs, F.mont_mul(fs, ca[None], LA),
+                              F.mont_mul(fs, cb[None], LB)),
+                    F.mont_mul(fs, cc[None], LC))
+
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key](eq_rx_mont, self._mont(cA),
+                               self._mont(cB), self._mont(cC))
+
+    def _dot(self, a_mont, b_mont):
+        key = ("dot", a_mont.shape[0])
+        if key not in self._jits:
+            fs = self.fspec
+            self._jits[key] = jax.jit(
+                lambda a, b: _modsum(fs, F.mont_mul(fs, a, b)))
+        return self._jits[key](a_mont, b_mont)
+
+    def _pad(self, arr: jnp.ndarray, n: int) -> jnp.ndarray:
+        if arr.shape[0] == n:
+            return arr
+        pad = jnp.zeros((n - arr.shape[0], F.N_LIMBS), jnp.int32)
+        return jnp.concatenate([arr, pad], axis=0)
+
+    # -- prove --------------------------------------------------------------
+    def compress(self, proof: IVCProof, io_arity: int) -> CompressedProof:
+        """Compress an IVCProof: replay the instance folding, then prove the
+        folded claim. The returned proof drops final_W/final_E."""
+        ivc, fs, shape = self.ivc, self.fspec, self.ivc.shape
+        p = fs.p
+        inst = ivc.fold_instances_only(proof, io_arity)
+        u, X = inst.u, list(inst.X)
+
+        to_mont = F.jitted("to_mont", fs)
+        z_ints = [u] + [x % p for x in X] + [v % p for v in proof.final_W]
+        z_mont = to_mont(jnp.asarray(fs.batch_to_limbs(z_ints)))
+        az, bz, cz = ivc._jit("matvec",
+                              lambda z: matvec_all(shape, z))(z_mont)
+        e_mont = to_mont(jnp.asarray(fs.batch_to_limbs(
+            [v % p for v in proof.final_E])))
+
+        az, bz, cz = (self._pad(x, self.m) for x in (az, bz, cz))
+        e_pad = self._pad(e_mont, self.m)
+        u_mont = self._mont(u)
+
+        tr = self._transcript(inst)
+        s = self.m.bit_length() - 1
+        taus = [tr.challenge() for _ in range(s)]
+        eqv = self._eq_dev(taus)
+
+        sc1_evals: List[List[int]] = []
+        rs_x: List[int] = []
+        size = self.m
+        arrs = (eqv, az, bz, cz, e_pad)
+        while size > 1:
+            ev = self._sc1_evals_fn(size)(*arrs, u_mont)
+            ev_ints = self._ints(ev)
+            sc1_evals.append(ev_ints)
+            tr.absorb_scalars(ev_ints)
+            r = tr.challenge()
+            rs_x.append(r)
+            arrs = self._sc1_fold_fn(size)(*arrs[:5], self._mont(r))
+            size //= 2
+        _, azf, bzf, czf, ef = arrs
+        vA = self._ints(azf)[0]
+        vB = self._ints(bzf)[0]
+        vC = self._ints(czf)[0]
+        vE = self._ints(ef)[0]
+        tr.absorb_scalars([vA, vB, vC, vE])
+        cA, cB, cC = tr.challenge(), tr.challenge(), tr.challenge()
+
+        eq_rx = self._eq_dev(rs_x)
+        L = self._pad(self._L_vector(eq_rx, cA, cB, cC), self.nz)
+        z_pad = self._pad(z_mont, self.nz)
+
+        sc2_evals: List[List[int]] = []
+        rs_y: List[int] = []
+        size = self.nz
+        while size > 1:
+            ev = self._sc2_evals_fn(size)(L, z_pad)
+            ev_ints = self._ints(ev)
+            sc2_evals.append(ev_ints)
+            tr.absorb_scalars(ev_ints)
+            r = tr.challenge()
+            rs_y.append(r)
+            L, z_pad = self._sc2_fold_fn(size)(L, z_pad, self._mont(r))
+            size //= 2
+
+        # Openings.
+        eq_y = _eq_table_host(p, rs_y)
+        vz = self._ints(z_pad)[0]
+        pub = (u * eq_y[0] + sum(
+            x * eq_y[1 + i] for i, x in enumerate(X))) % p
+        w_claim = (vz - pub) % p
+
+        n_io = shape.n_io
+        W_mont = to_mont(jnp.asarray(fs.batch_to_limbs(
+            [v % p for v in proof.final_W])))
+        b_w = self._pad(F.jitted("to_mont", fs)(jnp.asarray(
+            fs.batch_to_limbs(eq_y[1 + n_io: 1 + n_io + shape.n_wit]))),
+            self.n_ipa_w)
+        gens_w = tuple(x[: self.n_ipa_w] for x in ivc.ck.points)
+        ipa_W = self.ipa.prove(tr, gens_w, self._pad(W_mont, self.n_ipa_w),
+                               b_w, inst.comm_W, w_claim)
+
+        b_e = eq_rx  # length m == n_ipa_e
+        gens_e = tuple(x[: self.n_ipa_e] for x in ivc.ck.points)
+        ipa_E = self.ipa.prove(tr, gens_e, self._pad(e_mont, self.n_ipa_e),
+                               b_e, inst.comm_E, vE)
+
+        chain = IVCProof(z0=list(proof.z0), steps=list(proof.steps),
+                         comm_Ts=list(proof.comm_Ts), final_W=[],
+                         final_E=[], pp_digest=proof.pp_digest)
+        return CompressedProof(chain=chain, spartan=SpartanProof(
+            sc1_evals=sc1_evals, vA=vA, vB=vB, vC=vC, vE=vE,
+            sc2_evals=sc2_evals, ipa_W=ipa_W, ipa_E=ipa_E))
+
+    # -- verify -------------------------------------------------------------
+    def verify(self, cp: CompressedProof, io_arity: int) -> List[int]:
+        """Full verification of a compressed proof; returns z_final."""
+        ivc, fs, shape = self.ivc, self.fspec, self.ivc.shape
+        p = fs.p
+        sp = cp.spartan
+        inst = ivc.fold_instances_only(cp.chain, io_arity)
+        u, X = inst.u, list(inst.X)
+
+        tr = self._transcript(inst)
+        s = self.m.bit_length() - 1
+        nu = self.nz.bit_length() - 1
+        assert len(sp.sc1_evals) == s, "sum-check 1 round count"
+        assert len(sp.sc2_evals) == nu, "sum-check 2 round count"
+        taus = [tr.challenge() for _ in range(s)]
+
+        claim = 0
+        rs_x: List[int] = []
+        for ev in sp.sc1_evals:
+            assert len(ev) == 4, "sc1 round must have 4 evaluations"
+            assert (ev[0] + ev[1]) % p == claim % p, "sum-check 1 failed"
+            tr.absorb_scalars([v % p for v in ev])
+            r = tr.challenge()
+            rs_x.append(r)
+            claim = _interp_eval(p, [v % p for v in ev], r)
+        eq_tr = _eq_point_host(p, [t % p for t in taus],
+                               [r % p for r in rs_x])
+        want = eq_tr * ((sp.vA * sp.vB - u * sp.vC - sp.vE) % p) % p
+        assert claim % p == want, "sum-check 1 final claim mismatch"
+
+        tr.absorb_scalars([sp.vA, sp.vB, sp.vC, sp.vE])
+        cA, cB, cC = tr.challenge(), tr.challenge(), tr.challenge()
+        claim2 = (cA * sp.vA + cB * sp.vB + cC * sp.vC) % p
+
+        rs_y: List[int] = []
+        for ev in sp.sc2_evals:
+            assert len(ev) == 3, "sc2 round must have 3 evaluations"
+            assert (ev[0] + ev[1]) % p == claim2 % p, "sum-check 2 failed"
+            tr.absorb_scalars([v % p for v in ev])
+            r = tr.challenge()
+            rs_y.append(r)
+            claim2 = _interp_eval(p, [v % p for v in ev], r)
+
+        # vL = L~(r_y), computed by the verifier from the sparse matrices.
+        eq_rx = self._eq_dev(rs_x)
+        eq_ry_host = _eq_table_host(p, rs_y)
+        eq_ry = F.jitted("to_mont", fs)(jnp.asarray(
+            fs.batch_to_limbs(eq_ry_host)))
+        L = self._L_vector(eq_rx, cA, cB, cC)      # (n_vars,)
+        vL = self._ints(self._dot(L, eq_ry[: shape.n_vars])[None])[0]
+        assert vL != 0, "degenerate evaluation point (vL == 0)"
+        vz = claim2 * pow(vL, p - 2, p) % p
+        pub = (u * eq_ry_host[0] + sum(
+            x * eq_ry_host[1 + i] for i, x in enumerate(X))) % p
+        w_claim = (vz - pub) % p
+
+        n_io = shape.n_io
+        b_w = self._pad(F.jitted("to_mont", fs)(jnp.asarray(
+            fs.batch_to_limbs(
+                eq_ry_host[1 + n_io: 1 + n_io + shape.n_wit]))),
+            self.n_ipa_w)
+        gens_w = tuple(x[: self.n_ipa_w] for x in ivc.ck.points)
+        assert self.ipa.verify(tr, gens_w, b_w, inst.comm_W, w_claim,
+                               sp.ipa_W), "IPA opening of W failed"
+
+        gens_e = tuple(x[: self.n_ipa_e] for x in ivc.ck.points)
+        assert self.ipa.verify(tr, gens_e, eq_rx, inst.comm_E, sp.vE,
+                               sp.ipa_E), "IPA opening of E failed"
+
+        return cp.chain.steps[-1].X[:io_arity]

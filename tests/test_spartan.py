@@ -1,0 +1,102 @@
+"""Spartan compression (sum-check + IPA) on the toy step circuit.
+
+The reference's CompressedSNARK test is fully commented out
+(rust_fold/src/main.rs:542-559); these tests are the working equivalent,
+plus the negative cases the reference never had (main.rs:443 TODO).
+"""
+
+import numpy as np
+import pytest
+
+from hotproofs_tpu.circuits import gadgets as g
+from hotproofs_tpu.circuits.dsl import compile_circuit, eval_witness
+from hotproofs_tpu.circuits.blake3_compression import VESTA_PRIME
+from hotproofs_tpu.nova.ivc import IVC
+from hotproofs_tpu.nova.pedersen import CommitmentKey
+from hotproofs_tpu.nova.r1cs import ShapeDevice
+from hotproofs_tpu.nova.spartan import CompressedProof, SpartanSystem
+from hotproofs_tpu.ops import curve as C
+
+CONST = 7
+
+
+def toy_step(ctx):
+    z_out = ctx.declare_output("z_out", 1)
+    z_in = ctx.declare_input("z_in", 1, public=True)
+    sq = g.mul(ctx, z_in[0], z_in[0], name="sq")
+    cube = g.mul(ctx, sq, z_in[0], name="cube")
+    ctx.bind(z_out[0], cube + CONST)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    r1cs, layout = compile_circuit(toy_step, VESTA_PRIME)
+    shape = ShapeDevice.from_dsl(r1cs)
+    n = 1
+    while n < max(shape.n_wit, shape.n_cons):
+        n *= 2
+    ck = CommitmentKey.create(C.PALLAS, b"toy-spartan", n)
+    ivc = IVC(shape, C.PALLAS, ck, None)
+    return ivc, SpartanSystem(ivc), layout
+
+
+def _prove_chain(ivc, layout, z0, n_steps):
+    p = VESTA_PRIME
+    z = z0 % p
+    wits = []
+    for _ in range(n_steps):
+        w = eval_witness(toy_step, layout, {"z_in": [z]})
+        wits.append(w)
+        z = (pow(z, 3, p) + CONST) % p
+    return ivc.prove([z0], wits), z
+
+
+def test_compress_roundtrip(stack, tmp_path):
+    ivc, sps, layout = stack
+    proof, z_expected = _prove_chain(ivc, layout, 3, 4)
+    cp = sps.compress(proof, io_arity=1)
+    # The compressed proof must not carry the accumulator witness.
+    assert cp.chain.final_W == [] and cp.chain.final_E == []
+    z_final = sps.verify(cp, io_arity=1)
+    assert z_final == [z_expected]
+    # JSON round-trip through the safe serializer.
+    path = str(tmp_path / "cp.json")
+    cp.save(path)
+    cp2 = CompressedProof.load(path)
+    assert sps.verify(cp2, io_arity=1) == [z_expected]
+
+
+def test_compress_rejects_tampered_claim(stack):
+    ivc, sps, layout = stack
+    proof, _ = _prove_chain(ivc, layout, 5, 3)
+    cp = sps.compress(proof, io_arity=1)
+    cp.spartan.vA = (cp.spartan.vA + 1) % VESTA_PRIME
+    with pytest.raises(AssertionError):
+        sps.verify(cp, io_arity=1)
+
+
+def test_compress_rejects_tampered_ipa(stack):
+    ivc, sps, layout = stack
+    proof, _ = _prove_chain(ivc, layout, 5, 3)
+    cp = sps.compress(proof, io_arity=1)
+    cp.spartan.ipa_W.a_final = (cp.spartan.ipa_W.a_final + 1) % VESTA_PRIME
+    with pytest.raises(AssertionError):
+        sps.verify(cp, io_arity=1)
+
+
+def test_compress_rejects_tampered_chain(stack):
+    ivc, sps, layout = stack
+    proof, _ = _prove_chain(ivc, layout, 2, 3)
+    cp = sps.compress(proof, io_arity=1)
+    cp.chain.steps[-1].X[0] = (cp.chain.steps[-1].X[0] + 1) % VESTA_PRIME
+    with pytest.raises(AssertionError):
+        sps.verify(cp, io_arity=1)
+
+
+def test_compress_rejects_dropped_sumcheck_round(stack):
+    ivc, sps, layout = stack
+    proof, _ = _prove_chain(ivc, layout, 2, 2)
+    cp = sps.compress(proof, io_arity=1)
+    cp.spartan.sc1_evals = cp.spartan.sc1_evals[:-1]
+    with pytest.raises(AssertionError):
+        sps.verify(cp, io_arity=1)
