@@ -1,19 +1,24 @@
 """Benchmark: Nova fold throughput of the BLAKE3 chunk prover on real TPU.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(plus an "extra_metrics" object with secondary numbers).
 
-Metric: steady-state folds/sec of the fold pipeline over the real blake3_nova
-step circuit (SpMV + witness commit MSM + cross-term MSM + Poseidon challenge
-+ accumulator update), with step witnesses precomputed — precomputation is
-chain-independent and runs batched/parallel by design (SURVEY.md §2c #1/#3),
-unlike the reference's strictly sequential witness+synthesize loop.
+Primary metric: steady-state folds/sec of the BATCHED fold pipeline
+(`ChunkProver._prove_fast`): one device kernel generates all step witnesses
+(batched, chain-independent — SURVEY.md §2c #1), batched SpMVs + batched
+small-window W commits, then the sequential fold loop with one comm_T MSM +
+Poseidon challenge per step. This is the flagship path; round 1 benchmarked
+the slow per-step path by mistake (VERDICT.md weak #1).
+
+Secondary metric (BASELINE config 3): batched witness generation throughput
+at 4096 independent BLAKE3 blocks on one chip (witnesses/s; constraints/s =
+witnesses/s x n_constraints).
 
 Baseline: the reference publishes NO numbers (BASELINE.md). We anchor
 vs_baseline to 1.0 fold/sec, a generous estimate for single-CPU arecibo on a
 ~50-70k-signal circom step circuit (per-step wasm reload + witness calc +
-synthesis + 2 MSMs; the reference's own per-step timing prints are the
-intended but unrecorded source, rust_fold/src/main.rs:173-178). See
-BASELINE.md for the derivation; the north star is >=10x this.
+synthesis + 2 MSMs; rust_fold/src/main.rs:173-178 prints but never records
+its timings). North star: >=10x.
 """
 
 import json
@@ -26,6 +31,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 RUST_FOLD_BASELINE_FOLDS_PER_SEC = 1.0
 
 
+def bench_witness_throughput(prover, n_batch=4096):
+    """BASELINE config 3: batched device witness generation, one chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hotproofs_tpu.core import blake3_ref as b3
+    from hotproofs_tpu.circuits import blake3_nova as nova_circ
+    from hotproofs_tpu.circuits import witness_jax as WJ
+
+    # 4096 independent leaf blocks (a 4 MiB file's worth of chunk starts).
+    rng = np.random.RandomState(42)
+    proof_data = b3.hash_with_path(b"\0" * 64, 0)
+    zs, sched = nova_circ.z_chain(proof_data, prover.modulus)
+    z_b = np.repeat(np.array(zs[:1], np.uint32), n_batch, axis=0)
+    m_b = rng.randint(0, 1 << 32, size=(n_batch, 16)).astype(np.uint32)
+    b_b = np.full((n_batch,), 64, np.uint32)
+    dl_b = np.zeros((n_batch,), np.uint32)
+
+    gen = WJ.jitted_nova_generator(0)
+    args = (jnp.asarray(z_b), jnp.asarray(m_b), jnp.asarray(b_b),
+            jnp.asarray(dl_b))
+    out = gen(*args)
+    out.block_until_ready()  # compile
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        out = gen(*args)
+    out.block_until_ready()
+    dt = (time.time() - t0) / reps
+    wps = n_batch / dt
+    return wps, dt
+
+
 def main():
     from hotproofs_tpu.utils.config import setup_jax
     setup_jax()  # default platform: the real TPU in this environment
@@ -34,46 +73,39 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     from hotproofs_tpu.core import blake3_ref as b3
-    from hotproofs_tpu.circuits import blake3_nova as nova_circ
     from hotproofs_tpu.models.chunk_prover import ChunkProver
 
     prover = ChunkProver()
+    n_cons = prover.ivc.shape.n_cons
 
     # One full chunk: 16 blocks -> 16 fold steps (the reference's
     # test_prove_chunk_hash_full_blocks scenario, main.rs:510-517).
     data = bytes(1024)
-    proof_data = b3.hash_with_path(data, 0)
-    sched = nova_circ.build_schedule(proof_data)
 
-    # Precompute witnesses host-side (chain-independent by design).
+    # Warmup (compile) on the same shapes.
     t0 = time.time()
-    z = [v % prover.modulus for v in sched.z0]
-    wits = []
-    for step in sched.steps:
-        w, z = nova_circ.eval_step_witness(z, step, prover.modulus)
-        wits.append(w)
-    t_wit = time.time() - t0
-    print(f"witness precompute: {t_wit:.2f}s for {len(wits)} steps",
-          file=sys.stderr)
-
-    # Warmup fold (compile): 2 steps.
-    t0 = time.time()
-    prover.ivc.prove(sched.z0, wits[:2])
+    root, proof = prover.prove(data, 0, fast=True)
     t_warm = time.time() - t0
-    print(f"warmup(2 steps incl compile): {t_warm:.2f}s", file=sys.stderr)
+    print(f"warmup prove (incl compile): {t_warm:.2f}s", file=sys.stderr)
 
-    # Timed run: all steps, compiled path.
+    # Timed run: full batched pipeline (witness kernel + batched commits +
+    # fold loop), compiled path.
     t0 = time.time()
-    ivc_proof = prover.ivc.prove(sched.z0, wits)
+    root, proof = prover.prove(data, 0, fast=True)
     dt = time.time() - t0
-    folds_per_sec = len(wits) / dt
-    print(f"fold pipeline: {len(wits)} steps in {dt:.2f}s", file=sys.stderr)
+    n_steps = proof.ivc_proof.num_steps
+    folds_per_sec = n_steps / dt
+    print(f"fold pipeline: {n_steps} steps in {dt:.2f}s", file=sys.stderr)
 
     # Sanity: the proof must verify and reproduce the true hash.
-    z_final = prover.ivc.verify(ivc_proof, io_arity=nova_circ.IO_ARITY)
-    root = b"".join(int(w).to_bytes(4, "little") for w in z_final[2:10])
-    assert root == b3.hash_bytes(data), "bench proof does not verify!"
+    got = prover.verify(proof, expected_hash=b3.hash_bytes(data))
+    assert got == b3.hash_bytes(data)
     print("proof verified; root matches oracle", file=sys.stderr)
+
+    wps, wdt = bench_witness_throughput(prover)
+    print(f"witness throughput: 4096 blocks in {wdt * 1e3:.1f}ms "
+          f"= {wps:,.0f} wit/s = {wps * n_cons / 1e9:.2f}G constraints/s",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "nova_folds_per_sec_blake3_step",
@@ -81,6 +113,12 @@ def main():
         "unit": "folds/s",
         "vs_baseline": round(folds_per_sec / RUST_FOLD_BASELINE_FOLDS_PER_SEC,
                              4),
+        "extra_metrics": {
+            "witnesses_per_sec_batch4096": round(wps, 1),
+            "constraints_per_sec": round(wps * n_cons, 1),
+            "warmup_s": round(t_warm, 2),
+            "prove_s": round(dt, 2),
+        },
     }))
 
 

@@ -1,0 +1,20 @@
+"""CI guard for the driver's multi-chip dry run.
+
+Round 1's dryrun_multichip timed out in XLA compile (MULTICHIP_r01 rc=124);
+this test runs the exact same entry point on the virtual 8-device CPU mesh
+so a compile-time regression fails CI before the driver ever sees it.
+"""
+
+import __graft_entry__
+
+
+def test_dryrun_multichip_8():
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import jax
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
