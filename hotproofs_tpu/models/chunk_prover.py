@@ -136,6 +136,37 @@ class CompressedChunkProof:
             total_depth=int(d["total_depth"]))
 
 
+@dataclass
+class SegmentedChunkProof:
+    """Chunk statement + a segment-parallel fold proof
+    (parallel/segments.SegmentedProof)."""
+
+    segmented: "object"
+    chunk_idx: int
+    n_blocks: int
+    leaf_depth: int
+    total_depth: int
+
+    def save(self, path: str) -> None:
+        serial.dump("segmented_chunk_proof", {
+            "segmented": self.segmented.to_dict(),
+            "chunk_idx": int(self.chunk_idx),
+            "n_blocks": int(self.n_blocks),
+            "leaf_depth": int(self.leaf_depth),
+            "total_depth": int(self.total_depth),
+        }, path)
+
+    @staticmethod
+    def load(path: str) -> "SegmentedChunkProof":
+        from ..parallel.segments import SegmentedProof
+        d = serial.load("segmented_chunk_proof", path)
+        return SegmentedChunkProof(
+            segmented=SegmentedProof.from_dict(d["segmented"]),
+            chunk_idx=int(d["chunk_idx"]), n_blocks=int(d["n_blocks"]),
+            leaf_depth=int(d["leaf_depth"]),
+            total_depth=int(d["total_depth"]))
+
+
 class ChunkProver:
     """prove/verify pair for BLAKE3 chunk possession (Pasta by default)."""
 
@@ -160,10 +191,11 @@ class ChunkProver:
         )
         return proof_data.root_hash, chunk_proof
 
-    def _prove_fast(self, proof_data, progress: bool, mesh=None):
-        """Batched device pipeline: all step witnesses in ONE kernel call
-        (z chain precomputed host-side from the hash chain), batched SpMVs
-        and W-commits, then the sequential fold loop."""
+    def _device_witness_chain(self, proof_data):
+        """Precompute (zs, sched, canon, X_host) for the whole chain: all
+        step witnesses in ONE device kernel call (the z chain is
+        host-precomputable from the hash chain alone — SURVEY.md §2c #3),
+        expanded to canonical limb vectors with inverse hints patched."""
         import jax.numpy as jnp
         from ..circuits import witness_jax as WJ
 
@@ -197,6 +229,12 @@ class ChunkProver:
             jnp.asarray(inv_limbs))
 
         X_host = [list(zs[i + 1]) + list(zs[i]) for i in range(n)]
+        return zs, sched, canon, X_host
+
+    def _prove_fast(self, proof_data, progress: bool, mesh=None):
+        """Batched device pipeline: one witness kernel call, batched SpMVs
+        and W-commits, then the sequential fold loop."""
+        zs, sched, canon, X_host = self._device_witness_chain(proof_data)
         proof = self.ivc.prove_batch(sched.z0, canon, X_host,
                                      progress=progress, mesh=mesh)
         return sched, proof
@@ -269,6 +307,35 @@ class ChunkProver:
             compressed=cp, chunk_idx=proof.chunk_idx,
             n_blocks=proof.n_blocks, leaf_depth=proof.leaf_depth,
             total_depth=proof.total_depth)
+
+    def prove_segmented(self, data: bytes, chunk_idx: int, n_segments: int,
+                        devices=None, progress: bool = False):
+        """Prove a chunk as n_segments independent parallel fold chains
+        (SURVEY.md §2c #3; parallel/segments.py). Returns
+        (root_hash, SegmentedChunkProof)."""
+        from ..parallel.segments import prove_segments
+
+        proof_data = b3.hash_with_path(data, chunk_idx)
+        zs, sched, canon, X_host = self._device_witness_chain(proof_data)
+        seg = prove_segments(self.ivc, zs, canon, X_host, n_segments,
+                             devices=devices, progress=progress)
+        proof = SegmentedChunkProof(
+            segmented=seg, chunk_idx=chunk_idx,
+            n_blocks=proof_data.n_blocks,
+            leaf_depth=proof_data.leaf_depth,
+            total_depth=proof_data.total_depth)
+        return proof_data.root_hash, proof
+
+    def verify_segmented(self, proof: "SegmentedChunkProof",
+                         expected_hash: Optional[bytes] = None) -> bytes:
+        from ..parallel.segments import verify_segments
+
+        self._check_statement(
+            proof.segmented.z0, proof.segmented.num_steps, proof.chunk_idx,
+            proof.n_blocks, proof.leaf_depth, proof.total_depth)
+        z_final = verify_segments(self.ivc, proof.segmented,
+                                  io_arity=IO_ARITY)
+        return self._check_final(z_final, proof.n_blocks, expected_hash)
 
     def verify_compressed(self, proof: CompressedChunkProof,
                           expected_hash: Optional[bytes] = None) -> bytes:

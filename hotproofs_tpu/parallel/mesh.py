@@ -26,6 +26,32 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: jax.distributed.initialize with env fallbacks.
+
+    Args default from HOTPROOFS_COORDINATOR / HOTPROOFS_NUM_PROCESSES /
+    HOTPROOFS_PROCESS_ID (matching jax's own JAX_COORDINATOR_ADDRESS
+    convention). After this, jax.devices() spans all hosts and make_mesh
+    builds a global mesh; segment proving shards chains across processes
+    via segments.prove_segments(my_segments=[i::n]). No-op (returns 0) when
+    neither args nor env are set — single-process runs need no coordinator.
+    """
+    import os
+    coordinator = coordinator or os.environ.get("HOTPROOFS_COORDINATOR")
+    if coordinator is None:
+        return 0
+    num_processes = num_processes if num_processes is not None else \
+        int(os.environ["HOTPROOFS_NUM_PROCESSES"])
+    process_id = process_id if process_id is not None else \
+        int(os.environ["HOTPROOFS_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()
+
+
 def make_mesh(step: int = 1, msm: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     devs = list(devices if devices is not None else jax.devices())

@@ -1,0 +1,166 @@
+"""Segment-parallel proving of long IVC chains (SURVEY.md §2c #3).
+
+The reference proves a chain strictly sequentially — fold step i+1 consumes
+fold step i's output (rust_fold/src/main.rs:166-179), so a 2^16-step chain
+is 2^16 sequential RecursiveSNARK::prove_step calls on one host.  The TPU
+stack exploits the structural fact SURVEY.md §2c #3 identifies: the PUBLIC
+state chain z_0 → z_1 → … → z_n depends only on the hash chain (host
+precomputable in microseconds, blake3_nova.z_chain), NOT on the folds.  So
+an n-step chain splits into K segments that are proved as K fully
+independent IVC chains — different hosts, different chips, or different
+devices of one mesh — and composed by public-IO chaining:
+
+    segment k proves:  z_{a_k} →^{b_k - a_k steps} z_{b_k}   (a_{k+1} = b_k)
+
+The composed claim is exactly the original one ("there exists a valid
+witness chain from z_0 to z_n"): each segment's folding argument proves
+knowledge of satisfying witnesses for its steps, and the verifier checks
+the segment boundaries line up (z_out of k == z0 of k+1).  Each segment
+carries its own transcript (domain-separated by its z0, which differs per
+segment) and its own folded accumulator; verification cost is the same
+O(n) instance folds as the single-chain proof, plus K−1 boundary checks —
+and each segment can be Spartan-compressed independently (nova/spartan.py)
+to drop its witness vectors.
+
+Wall-clock: n/K sequential folds per worker instead of n.  For BASELINE
+config 5 (2^16 steps) with 16 hosts × 4 chips that is 1024 folds per chip.
+
+Multi-host execution: call parallel.mesh.init_distributed() first (wraps
+jax.distributed.initialize), give every process the same (zs, canon,
+X_host) — all host-precomputable — and have process i prove segments
+[i::n_processes] (`my_segments`); the K proof objects are tiny JSON
+(serial.py) and travel over whatever control plane launched the job.  The
+single-process path runs segments in a thread pool: device work for
+different segments overlaps (each segment can be pinned to its own device
+of a CPU/TPU mesh via `devices=`), host transcript work interleaves.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..nova import serial
+from ..nova.ivc import IVC, IVCProof
+
+
+def split_plan(n_steps: int, n_segments: int) -> List[Tuple[int, int]]:
+    """[start, end) step ranges, sizes as equal as possible, every segment
+    non-empty (n_segments is clamped to n_steps)."""
+    k = max(1, min(n_segments, n_steps))
+    base, extra = divmod(n_steps, k)
+    bounds, a = [], 0
+    for i in range(k):
+        b = a + base + (1 if i < extra else 0)
+        bounds.append((a, b))
+        a = b
+    return bounds
+
+
+@dataclass
+class SegmentedProof:
+    """K independent IVC proofs composed by public-IO chaining."""
+
+    segments: List[IVCProof]
+
+    @property
+    def num_steps(self) -> int:
+        return sum(s.num_steps for s in self.segments)
+
+    @property
+    def z0(self) -> List[int]:
+        return self.segments[0].z0
+
+    def z_final(self, io_arity: int) -> List[int]:
+        return self.segments[-1].z_final(io_arity)
+
+    def to_dict(self) -> dict:
+        return {"segments": [s.to_dict() for s in self.segments]}
+
+    @staticmethod
+    def from_dict(d: dict) -> "SegmentedProof":
+        return SegmentedProof(
+            segments=[IVCProof.from_dict(s) for s in d["segments"]])
+
+    def save(self, path: str) -> None:
+        serial.dump("segmented_proof", self.to_dict(), path)
+
+    @staticmethod
+    def load(path: str) -> "SegmentedProof":
+        return SegmentedProof.from_dict(serial.load("segmented_proof", path))
+
+
+def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
+                   X_host: List[List[int]], n_segments: int,
+                   devices: Optional[Sequence] = None,
+                   my_segments: Optional[Sequence[int]] = None,
+                   max_workers: Optional[int] = None,
+                   progress: bool = False) -> SegmentedProof:
+    """Prove the chain (canon, X_host) as n_segments independent segments.
+
+    zs: the precomputed public-state chain [z_0 .. z_n] (z_chain); segment
+    k's proof starts from zs[a_k].  devices: optional list to pin segment
+    k's witness tensors to devices[k % len(devices)] so segments run on
+    different chips of a mesh.  my_segments: prove only these segment
+    indices (multi-host sharding — every other entry is None in
+    .segments and the caller composes across hosts); default all.
+    """
+    import jax
+
+    n_steps = canon.shape[0]
+    assert len(X_host) == n_steps and len(zs) == n_steps + 1
+    bounds = split_plan(n_steps, n_segments)
+    todo = list(range(len(bounds))) if my_segments is None \
+        else sorted(set(my_segments))
+    # Uniform chunk size across segments (sizes differ by <=1): every
+    # segment reuses the same compiled batched-phase programs instead of
+    # compiling one variant per segment length.
+    chunk = min(16, bounds[0][1] - bounds[0][0])
+
+    def prove_one(k: int) -> IVCProof:
+        a, b = bounds[k]
+        seg_canon = canon[a:b]
+        if devices:
+            seg_canon = jax.device_put(seg_canon,
+                                       devices[k % len(devices)])
+        p = ivc.prove_batch([v for v in zs[a]], seg_canon, X_host[a:b],
+                            chunk_steps=chunk)
+        if progress:
+            print(f"segment {k}: steps [{a},{b}) done")
+        return p
+
+    if len(todo) == 1:
+        results = {todo[0]: prove_one(todo[0])}
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers or len(todo)) as ex:
+            futs = {k: ex.submit(prove_one, k) for k in todo}
+            results = {k: f.result() for k, f in futs.items()}
+
+    segments: List[Optional[IVCProof]] = [None] * len(bounds)
+    for k, p in results.items():
+        segments[k] = p
+    if my_segments is None:
+        assert all(s is not None for s in segments)
+    return SegmentedProof(segments=segments)
+
+
+def verify_segments(ivc: IVC, proof: SegmentedProof,
+                    io_arity: int) -> List[int]:
+    """Verify every segment and the boundary chaining; returns z_final.
+
+    The caller still checks the statement: proof.z0 against the expected
+    initial state and the returned z_final against the expected claim
+    (e.g. ChunkProver._check_statement/_check_final)."""
+    assert proof.segments, "empty segmented proof"
+    p = ivc.shape.field.p
+    prev_out: Optional[List[int]] = None
+    for k, seg in enumerate(proof.segments):
+        assert seg is not None, f"segment {k} missing"
+        if prev_out is not None:
+            assert [v % p for v in seg.z0[:io_arity]] == prev_out, \
+                f"segment {k} does not chain from segment {k - 1}"
+        prev_out = [v % p for v in ivc.verify(seg, io_arity=io_arity)]
+    return prev_out
