@@ -221,15 +221,24 @@ class IVC:
         return tr
 
     @staticmethod
-    def _fold_challenge(tr: Transcript, acc_inst, X_i, comm_W,
-                        comm_T) -> int:
-        """One fold's Fiat–Shamir absorb sequence (prover == verifier)."""
+    def _fold_challenge_prefix(tr: Transcript, acc_inst, X_i,
+                               comm_W) -> None:
+        """Everything the fold challenge absorbs EXCEPT comm_T. The prefix
+        is known before the comm_T MSM finishes, so the pipelined prover
+        hashes it while the device is still computing (the only absorb that
+        has to wait for the device sync is comm_T itself)."""
         tr.absorb_scalar(acc_inst.u)
         tr.absorb_scalars(acc_inst.X)
         tr.absorb_point(acc_inst.comm_W)
         tr.absorb_point(acc_inst.comm_E)
         tr.absorb_scalars(X_i)
         tr.absorb_point(comm_W)
+
+    @staticmethod
+    def _fold_challenge(tr: Transcript, acc_inst, X_i, comm_W,
+                        comm_T) -> int:
+        """One fold's Fiat–Shamir absorb sequence (prover == verifier)."""
+        IVC._fold_challenge_prefix(tr, acc_inst, X_i, comm_W)
         tr.absorb_point(comm_T)
         return tr.challenge()
 
@@ -366,6 +375,23 @@ class IVC:
         foldw_j = self._jit(
             "foldw", lambda acc, W2, az, bz, cz, T, r: NF.fold_witness(
                 spec, acc, W2, az, bz, cz, T, r))
+        # ONE device launch per fold: apply the PREVIOUS step's fold (its
+        # challenge r only became known after that step's comm_T synced),
+        # then compute and commit this step's cross-term. While the device
+        # runs, the host folds the previous instance (EC scalar mults) and
+        # hashes this step's transcript prefix — per-launch latency and
+        # host work hide behind the MSM instead of serializing with it.
+        commitT_fn = self.ck.commit_fn(shape.n_cons, max_bits=256)
+        scaled_T = self.ck.scaled(shape.n_cons, 256)
+
+        def _fused(acc, pW2, paz, pbz, pcz, pT, r_prev, az, bz, cz, u,
+                   scaledT):
+            acc = NF.fold_witness(spec, acc, pW2, paz, pbz, pcz, pT, r_prev)
+            T = NF.cross_term(spec, acc, az, bz, cz, u)
+            comm_T = commitT_fn(F.from_mont(spec, T), scaledT)
+            return acc, T, comm_T
+
+        fused_j = self._jit("fused_fold_step", _fused)
         matvec_b = self._jit(
             "matvec_batch", jax.vmap(lambda z: matvec_all(shape, z)))
         if self.big_wit_idx is None:
@@ -443,6 +469,26 @@ class IVC:
                 sponge_absorbed=tr.sponge._absorbed,
                 pp_digest=self.pp_digest)
 
+        # Pipeline state: the fold of step i-1 is PENDING until launch i
+        # applies it on device (its r was only known after comm_T_{i-1}
+        # synced). pend holds everything that fold needs.
+        pend = None
+        zeros_wit = jnp.zeros((shape.n_wit, F.N_LIMBS), jnp.int32)
+        zeros_cons = jnp.zeros((shape.n_cons, F.N_LIMBS), jnp.int32)
+        zeros_r = jnp.zeros((F.N_LIMBS,), jnp.int32)
+
+        def _flush_pending():
+            """Apply the pending fold (device + host instance)."""
+            nonlocal acc_dev, acc_inst, pend
+            if pend is None:
+                return
+            acc_dev = foldw_j(acc_dev, pend["W2"], pend["az"], pend["bz"],
+                              pend["cz"], pend["T"], pend["r_mont"])
+            acc_inst = NF.fold_instance(spec, curve, acc_inst, pend["X"],
+                                        pend["comm_W"], pend["comm_T"],
+                                        pend["r"])
+            pend = None
+
         done = start
         while done < n_steps:
             take = min(chunk_steps, n_steps - done)
@@ -466,32 +512,64 @@ class IVC:
                 az, bz, cz = az_b[k], bz_b[k], cz_b[k]
                 comm_W = comm_W_aff[k]
 
-                u_mont = self._scalar_mont(acc_inst.u)
-                T = cross_j(acc_dev, az, bz, cz, u_mont)
-                if commT_j is None:
-                    comm_T_dev = self.ck.commit(from_mont_j(T), max_bits=256)
-                else:
+                if commT_j is not None:
+                    # Mesh path: unfused (shard_map MSM is its own program).
+                    _flush_pending()
+                    u_mont = self._scalar_mont(acc_inst.u)
+                    T = cross_j(acc_dev, az, bz, cz, u_mont)
                     comm_T_dev = commT_j(from_mont_j(T))
+                else:
+                    # u after the pending fold is u + r (host scalar math);
+                    # the full EC instance fold happens while the device
+                    # runs the fused program.
+                    u_next = acc_inst.u if pend is None else \
+                        (acc_inst.u + pend["r"]) % spec.p
+                    if pend is None:
+                        pW2, paz, pbz, pcz = (zeros_wit, zeros_cons,
+                                              zeros_cons, zeros_cons)
+                        pT, pr = zeros_cons, zeros_r
+                    else:
+                        pW2, paz, pbz, pcz = (pend["W2"], pend["az"],
+                                              pend["bz"], pend["cz"])
+                        pT, pr = pend["T"], pend["r_mont"]
+                    acc_dev, T, comm_T_dev = fused_j(
+                        acc_dev, pW2, paz, pbz, pcz, pT, pr,
+                        az, bz, cz, self._scalar_mont(u_next), scaled_T)
+                    if pend is not None:  # host EC fold overlaps the MSM
+                        acc_inst = NF.fold_instance(
+                            spec, curve, acc_inst, pend["X"],
+                            pend["comm_W"], pend["comm_T"], pend["r"])
+                        pend = None
+
+                self._fold_challenge_prefix(tr, acc_inst, X_i, comm_W)
                 comm_T = C.pt_to_affine_host(
-                    curve, tuple(x[None] for x in comm_T_dev))[0]
+                    curve, tuple(x[None] for x in comm_T_dev))[0]   # sync
+                tr.absorb_point(comm_T)
+                r = tr.challenge()
 
-                r = self._fold_challenge(tr, acc_inst, X_i, comm_W, comm_T)
-
-                r_mont = self._scalar_mont(r)
-                acc_dev = foldw_j(acc_dev, z_mont[k, 1 + n_io:],
-                                  az, bz, cz, T, r_mont)
-                acc_inst = NF.fold_instance(spec, curve, acc_inst, X_i,
-                                            comm_W, comm_T, r)
+                if commT_j is not None:
+                    r_mont = self._scalar_mont(r)
+                    acc_dev = foldw_j(acc_dev, z_mont[k, 1 + n_io:],
+                                      az, bz, cz, T, r_mont)
+                    acc_inst = NF.fold_instance(spec, curve, acc_inst, X_i,
+                                                comm_W, comm_T, r)
+                else:
+                    pend = {"W2": z_mont[k, 1 + n_io:], "az": az, "bz": bz,
+                            "cz": cz, "T": T,
+                            "r_mont": self._scalar_mont(r), "r": r,
+                            "X": X_i, "comm_W": comm_W, "comm_T": comm_T}
                 steps.append(StepClaim(X=X_i, comm_W=comm_W))
                 comm_Ts.append(comm_T)
                 if (checkpoint_every and checkpoint_path
                         and (i + 1) % checkpoint_every == 0
                         and i + 1 < n_steps):
+                    _flush_pending()
                     _checkpoint(i + 1).save(checkpoint_path)
             done += take
             if progress:
                 print(f"folded {done}/{n_steps} steps")
 
+        _flush_pending()
         return self._finish_proof(z0, steps, comm_Ts, acc_dev)
 
     # -- verification -------------------------------------------------------
