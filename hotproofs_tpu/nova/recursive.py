@@ -1,0 +1,443 @@
+"""RecursiveSNARK — two-cycle augmented IVC with an O(1)-work verifier.
+
+Capability parity with arecibo's RecursiveSNARK (the reference's core
+engine, rust_fold/src/main.rs:151-193): every step folds the previous
+step's strict instances into running relaxed instances, and each side's
+augmented circuit (circuits/nova_augmented.py) VERIFIES the other side's
+fold in-circuit. The final verifier recomputes two Poseidon state hashes
+and checks satisfiability of three instances — work independent of the
+chain length, unlike the transparent IVC's per-step replay (nova/ivc.py).
+
+Wiring, soundness induction, base-case rules: nova_augmented.py docstring.
+This module is the host/device driver: it mirrors the in-circuit RO
+absorb sequences exactly (RecursiveRO), maintains the two accumulator
+witnesses on device (reusing nova/fold.py kernels + Pedersen commits),
+synthesizes the augmented witnesses through the DSL's self-checking
+EvalCtx, and implements prove/verify/serialization.
+
+The proof ships the final accumulator witness vectors (transparent final
+check); compressing them with the Spartan stage (nova/spartan.py) drops
+them to polylog size — wired at the ChunkProver level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuits import bignat_gadget as BN
+from ..circuits import nova_augmented as NA
+from ..circuits.dsl import compile_circuit, eval_witness
+from ..ops import curve as C
+from ..ops import field as F
+from ..ops import poseidon as P
+from . import fold as NF
+from . import serial
+from .pedersen import CommitmentKey
+from .r1cs import ShapeDevice, matvec_all, witness_to_device
+from .transcript import digest_of
+
+Affine = Optional[Tuple[int, int]]
+
+
+# ---------------------------------------------------------------------------
+# Host instance state + RO mirrors.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RelaxedHost:
+    """Running relaxed instance (host scalars over the instance's own
+    circuit field m; commitments on that side's curve)."""
+
+    comm_W: Affine = None
+    comm_E: Affine = None
+    u: int = 0
+    X: Tuple[int, int] = (0, 0)
+
+
+@dataclass
+class StrictHost:
+    comm_W: Affine = None
+    X: Tuple[int, int] = (0, 0)
+
+
+def _pt_enc(pt: Affine) -> List[int]:
+    """(x, y, inf) native triple — the circuit/transcript encoding."""
+    return [0, 0, 1] if pt is None else [int(pt[0]), int(pt[1]), 0]
+
+
+class RecursiveRO:
+    """Host mirror of the in-circuit sponges (MUST match
+    nova_augmented.SpongeAbsorbers + state_hash/fold_gadget exactly)."""
+
+    def __init__(self, pspec: P.PoseidonSpec, tag: int):
+        self.sp = P.HostSponge(pspec, domain_tag=tag % pspec.field.p)
+
+    def scalars(self, vs: Sequence[int]) -> "RecursiveRO":
+        self.sp.absorb([int(v) for v in vs])
+        return self
+
+    def point(self, pt: Affine) -> "RecursiveRO":
+        self.sp.absorb(_pt_enc(pt))
+        return self
+
+    def bignat(self, v: int) -> "RecursiveRO":
+        self.sp.absorb(BN.limbs_of_int(int(v)))
+        return self
+
+    def relaxed(self, U: RelaxedHost) -> "RecursiveRO":
+        self.point(U.comm_W).point(U.comm_E)
+        self.bignat(U.u).bignat(U.X[0]).bignat(U.X[1])
+        return self
+
+    def strict(self, u: StrictHost) -> "RecursiveRO":
+        self.point(u.comm_W).bignat(u.X[0]).bignat(u.X[1])
+        return self
+
+    def squeeze_trunc(self) -> int:
+        return self.sp.squeeze() % (1 << NA.CHALLENGE_BITS)
+
+
+def state_hash_host(pspec, vk: int, k: int, z0, z, U: RelaxedHost) -> int:
+    ro = RecursiveRO(pspec, NA.TAG_STATE)
+    ro.scalars([vk, k])
+    if z0 is not None:
+        ro.scalars(z0)
+    if z is not None:
+        ro.scalars(z)
+    ro.relaxed(U)
+    return ro.squeeze_trunc()
+
+
+def fold_challenge_host(pspec, vk: int, U: RelaxedHost, u: StrictHost,
+                        T_bar: Affine) -> int:
+    ro = RecursiveRO(pspec, NA.TAG_FOLD)
+    ro.scalars([vk]).relaxed(U).strict(u).point(T_bar)
+    return ro.squeeze_trunc()
+
+
+def fold_relaxed_host(curve: C.CurveSpec, m: int, U: RelaxedHost,
+                      u: StrictHost, T_bar: Affine, r: int) -> RelaxedHost:
+    return RelaxedHost(
+        comm_W=C.host_add(curve, U.comm_W,
+                          C.host_scalar_mul(curve, r, u.comm_W)),
+        comm_E=C.host_add(curve, U.comm_E,
+                          C.host_scalar_mul(curve, r, T_bar)),
+        u=(U.u + r) % m,
+        X=((U.X[0] + r * u.X[0]) % m, (U.X[1] + r * u.X[1]) % m))
+
+
+# ---------------------------------------------------------------------------
+# Per-side prover state.
+# ---------------------------------------------------------------------------
+
+
+class Side:
+    """One curve's circuit, commitment key and device accumulator."""
+
+    def __init__(self, name: str, circuit_fn, modulus: int,
+                 commit_curve: C.CurveSpec, label: bytes):
+        import jax
+
+        self.name = name
+        self.circuit_fn = circuit_fn
+        r1cs, layout = compile_circuit(circuit_fn, modulus)
+        self.layout = layout
+        self.shape = ShapeDevice.from_dsl(r1cs)
+        assert self.shape.n_io == 2
+        self.curve = commit_curve
+        self.ck = CommitmentKey.create(commit_curve, label, self.shape.n_wit)
+        self.spec = self.shape.field
+        self._matvec = jax.jit(lambda z: matvec_all(self.shape, z))
+        self._to_mont = F.jitted("to_mont", self.spec)
+        self._from_mont = F.jitted("from_mont", self.spec)
+        self._cross = jax.jit(
+            lambda acc, az, bz, cz, um: NF.cross_term(
+                self.spec, acc, az, bz, cz, um))
+        self._foldw = jax.jit(
+            lambda acc, W2, az, bz, cz, T, rm: NF.fold_witness(
+                self.spec, acc, W2, az, bz, cz, T, rm))
+        self.acc_dev, _ = NF.empty_accumulator(self.shape)
+        self.acc = RelaxedHost()
+        self.pending = None   # dict: strict instance awaiting fold
+
+    def _mont_scalar(self, v: int):
+        return jnp.asarray(F.int_to_limbs(
+            v * self.spec.r_mod_p % self.spec.p))
+
+    def synthesize(self, inputs) -> Tuple[StrictHost, dict]:
+        """Run the augmented circuit's evaluator (self-checking), commit
+        the witness, return the strict instance + device tensors."""
+        w = eval_witness(self.circuit_fn, self.layout, inputs)
+        X = (int(w[1]), int(w[2]))
+        canon = witness_to_device(self.spec, w)
+        z_mont = self._to_mont(canon)
+        az, bz, cz = self._matvec(z_mont)
+        wit_canon = canon[1 + self.shape.n_io:]
+        comm = self.ck.commit(wit_canon, max_bits=256)
+        comm_W = C.pt_to_affine_host(
+            self.curve, tuple(x[None] for x in comm))[0]
+        strict = StrictHost(comm_W=comm_W, X=X)
+        return strict, {"z_mont": z_mont, "az": az, "bz": bz, "cz": cz,
+                        "canon": canon}
+
+    def fold_pending(self, pspec, vk: int, m: int):
+        """Fold the pending strict instance into the running accumulator;
+        returns (T_bar, r, strict) used (or None at the base)."""
+        if self.pending is None:
+            return None
+        strict, dev = self.pending["strict"], self.pending["dev"]
+        u_mont = self._mont_scalar(self.acc.u)
+        T = self._cross(self.acc_dev, dev["az"], dev["bz"], dev["cz"],
+                        u_mont)
+        comm_T = self.ck.commit(self._from_mont(T), max_bits=256)
+        T_bar = C.pt_to_affine_host(
+            self.curve, tuple(x[None] for x in comm_T))[0]
+        r = fold_challenge_host(pspec, vk, self.acc, strict, T_bar)
+        self.acc = fold_relaxed_host(self.curve, m, self.acc, strict,
+                                     T_bar, r)
+        self.acc_dev = self._foldw(
+            self.acc_dev, dev["z_mont"][1 + self.shape.n_io:],
+            dev["az"], dev["bz"], dev["cz"], T, self._mont_scalar(r))
+        prev = self.pending
+        self.pending = None
+        return {"T_bar": T_bar, "r": r, "strict": strict, "prev": prev}
+
+
+def _relaxed_inputs(prefix: str, U: RelaxedHost) -> dict:
+    return {f"{prefix}_cw": _pt_enc(U.comm_W),
+            f"{prefix}_ce": _pt_enc(U.comm_E),
+            f"{prefix}_u": BN.limbs_of_int(U.u),
+            f"{prefix}_x0": BN.limbs_of_int(U.X[0]),
+            f"{prefix}_x1": BN.limbs_of_int(U.X[1])}
+
+
+def _strict_inputs(prefix: str, u: StrictHost) -> dict:
+    return {f"{prefix}_cw": _pt_enc(u.comm_W),
+            f"{prefix}_x0": BN.limbs_of_int(u.X[0]),
+            f"{prefix}_x1": BN.limbs_of_int(u.X[1])}
+
+
+# ---------------------------------------------------------------------------
+# The RecursiveSNARK.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RecursiveProof:
+    n_steps: int
+    z0: List[int]
+    z_final: List[int]
+    U1: RelaxedHost
+    U2: RelaxedHost
+    u1: StrictHost
+    W1: List[int]
+    E1: List[int]
+    W2: List[int]
+    E2: List[int]
+    w1: List[int]        # last strict primary witness
+
+    def to_dict(self) -> dict:
+        enc_rel = lambda U: {"cw": serial.enc_point(U.comm_W),
+                             "ce": serial.enc_point(U.comm_E),
+                             "u": int(U.u), "x": serial.enc_ints(U.X)}
+        return {
+            "n_steps": int(self.n_steps),
+            "z0": serial.enc_ints(self.z0),
+            "z_final": serial.enc_ints(self.z_final),
+            "U1": enc_rel(self.U1), "U2": enc_rel(self.U2),
+            "u1": {"cw": serial.enc_point(self.u1.comm_W),
+                   "x": serial.enc_ints(self.u1.X)},
+            "W1": serial.enc_ints(self.W1), "E1": serial.enc_ints(self.E1),
+            "W2": serial.enc_ints(self.W2), "E2": serial.enc_ints(self.E2),
+            "w1": serial.enc_ints(self.w1),
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "RecursiveProof":
+        dec_rel = lambda r: RelaxedHost(
+            comm_W=serial.dec_point(r["cw"]), comm_E=serial.dec_point(r["ce"]),
+            u=int(r["u"]), X=tuple(serial.enc_ints(r["x"])))
+        return RecursiveProof(
+            n_steps=int(d["n_steps"]), z0=serial.enc_ints(d["z0"]),
+            z_final=serial.enc_ints(d["z_final"]),
+            U1=dec_rel(d["U1"]), U2=dec_rel(d["U2"]),
+            u1=StrictHost(comm_W=serial.dec_point(d["u1"]["cw"]),
+                          X=tuple(serial.enc_ints(d["u1"]["x"]))),
+            W1=serial.enc_ints(d["W1"]), E1=serial.enc_ints(d["E1"]),
+            W2=serial.enc_ints(d["W2"]), E2=serial.enc_ints(d["E2"]),
+            w1=serial.enc_ints(d["w1"]))
+
+    def save(self, path: str) -> None:
+        serial.dump("recursive_proof", self.to_dict(), path)
+
+    @staticmethod
+    def load(path: str) -> "RecursiveProof":
+        return RecursiveProof.from_dict(serial.load("recursive_proof", path))
+
+
+class RecursiveSNARK:
+    """Two-cycle augmented IVC. f_gadget/f_host: the step function as a DSL
+    gadget and its host mirror. Primary = Pallas-committed (circuit over
+    Pallas' scalar field), secondary = Vesta-committed."""
+
+    def __init__(self, f_gadget: Callable, f_host: Callable, arity: int,
+                 label: bytes = b"recursive"):
+        q = C.PALLAS.scalar.p       # primary circuit field
+        p = C.VESTA.scalar.p        # secondary circuit field
+        self.q, self.p = q, p
+        self.arity = arity
+        self.f_host = f_host
+        self.pspec1 = P.make_spec(C.PALLAS.scalar.name)
+        self.pspec2 = P.make_spec(C.VESTA.scalar.name)
+
+        # vk binds both shapes + keys; computed over throwaway builds
+        # first (the circuits don't embed vk in constraints' structure —
+        # it enters only as a hashed constant value, so we can build once
+        # with vk=0 to get shapes, then rebuild with the real vk).
+        c1_probe = NA.make_augmented_circuit(
+            self.pspec1, C.VESTA.b, p, 0, arity, f_gadget,
+            fold_at_base=True)
+        c2_probe = NA.make_augmented_circuit(
+            self.pspec2, C.PALLAS.b, q, 0, 0, None, fold_at_base=False)
+        r1, _ = compile_circuit(c1_probe, q)
+        r2, _ = compile_circuit(c2_probe, p)
+        self.vk = digest_of(
+            label,
+            np.asarray([r1.n_constraints, r1.n_signals, len(r1.A)],
+                       np.int64).tobytes(),
+            np.asarray([r2.n_constraints, r2.n_signals, len(r2.A)],
+                       np.int64).tobytes(),
+        ) % (1 << NA.CHALLENGE_BITS)
+
+        c1 = NA.make_augmented_circuit(self.pspec1, C.VESTA.b, p, self.vk,
+                                       arity, f_gadget, fold_at_base=True)
+        c2 = NA.make_augmented_circuit(self.pspec2, C.PALLAS.b, q, self.vk,
+                                       0, None, fold_at_base=False)
+        self.side1 = Side("primary", c1, q, C.PALLAS, label + b"-1")
+        self.side2 = Side("secondary", c2, p, C.VESTA, label + b"-2")
+
+    # -- proving ------------------------------------------------------------
+    def prove(self, z0: Sequence[int], n_steps: int,
+              progress: bool = False) -> RecursiveProof:
+        q, p = self.q, self.p
+        z0 = [int(v) % q for v in z0]
+        z = list(z0)
+        s1, s2 = self.side1, self.side2
+
+        for k in range(1, n_steps + 1):
+            # A. Fold the pending primary strict (k >= 2) into U1.
+            fold1 = s1.fold_pending(self.pspec2, self.vk, q)
+            # B. Synthesize C2_k (over F_p): witnesses the state BEFORE
+            # the fold; its in-circuit fold must reproduce step A.
+            U1_prev = fold1["prev"]["U_before"] if fold1 else RelaxedHost()
+            u1_prev = fold1["strict"] if fold1 else StrictHost()
+            T1 = fold1["T_bar"] if fold1 else None
+            inputs2 = {"k_prev": [k - 1],
+                       **_relaxed_inputs("U", U1_prev),
+                       **_strict_inputs("u", u1_prev),
+                       "T_cw": _pt_enc(T1)}
+            u2_k, dev2 = s2.synthesize(inputs2)
+            assert u2_k.X[0] == state_hash_host(
+                self.pspec2, self.vk, k, None, None, s1.acc), \
+                "C2 output hash != host mirror"
+            # C. Fold u2_k into U2 (host + device) — C1_k verifies this.
+            U2_prev = RelaxedHost(comm_W=s2.acc.comm_W,
+                                  comm_E=s2.acc.comm_E, u=s2.acc.u,
+                                  X=s2.acc.X)
+            s2.pending = {"strict": u2_k, "dev": dev2,
+                          "U_before": U2_prev}
+            fold2 = s2.fold_pending(self.pspec1, self.vk, p)
+            # D. Synthesize C1_k (over F_q).
+            z_next = [int(v) % q for v in self.f_host(z)]
+            inputs1 = {"k_prev": [k - 1], "z0": z0, "z_prev": z,
+                       **_relaxed_inputs("U", U2_prev),
+                       **_strict_inputs("u", u2_k),
+                       "T_cw": _pt_enc(fold2["T_bar"])}
+            u1_k, dev1 = s1.synthesize(inputs1)
+            assert u1_k.X[0] == state_hash_host(
+                self.pspec1, self.vk, k, z0, z_next, s2.acc), \
+                "C1 output hash != host mirror"
+            s1.pending = {"strict": u1_k, "dev": dev1,
+                          "U_before": RelaxedHost(
+                              comm_W=s1.acc.comm_W, comm_E=s1.acc.comm_E,
+                              u=s1.acc.u, X=s1.acc.X)}
+            z = z_next
+            if progress:
+                print(f"recursive step {k}/{n_steps} done")
+
+        # Final state: U1, U2 running; u1_n strict (pending, unfolded).
+        pend = s1.pending
+        ints = lambda side, a: [int(v) for v in side.spec.limbs_to_ints(
+            np.asarray(side._from_mont(a)))]
+        return RecursiveProof(
+            n_steps=n_steps, z0=z0, z_final=z,
+            U1=s1.acc, U2=s2.acc, u1=pend["strict"],
+            W1=ints(s1, s1.acc_dev.W), E1=ints(s1, s1.acc_dev.E),
+            W2=ints(s2, s2.acc_dev.W), E2=ints(s2, s2.acc_dev.E),
+            w1=[int(v) for v in self.side1.spec.limbs_to_ints(
+                np.asarray(pend["dev"]["canon"]))])
+
+    # -- verification ---------------------------------------------------------
+    def _check_relaxed(self, side: Side, U: RelaxedHost, W: List[int],
+                       E: List[int]) -> None:
+        import jax
+        spec, shape = side.spec, side.shape
+        W_canon = jnp.asarray(spec.batch_to_limbs(W))
+        E_canon = jnp.asarray(spec.batch_to_limbs(E))
+        for vec, claimed, nm in ((W_canon, U.comm_W, "W"),
+                                 (E_canon, U.comm_E, "E")):
+            comm = side.ck.commit(vec, max_bits=256)
+            got = C.pt_to_affine_host(
+                side.curve, tuple(x[None] for x in comm))[0]
+            assert got == claimed, f"comm_{nm} mismatch ({side.name})"
+        u_mont = side._mont_scalar(U.u)
+        x_mont = side._to_mont(jnp.asarray(spec.batch_to_limbs(list(U.X))))
+        w_mont = side._to_mont(W_canon)
+        e_mont = side._to_mont(E_canon)
+        z = jnp.concatenate([u_mont[None], x_mont, w_mont], axis=0)
+        az, bz, cz = side._matvec(z)
+        lhs = F.mont_mul(spec, az, bz)
+        rhs = F.add(spec, F.mont_mul(spec, u_mont[None], cz), e_mont)
+        assert bool(jnp.all(lhs == rhs)), \
+            f"relaxed R1CS unsatisfied ({side.name})"
+
+    def verify(self, proof: RecursiveProof) -> List[int]:
+        """O(1)-work verification (hash recomputes + 3 instance checks,
+        none of it scaling with n_steps); returns z_final."""
+        assert proof.n_steps >= 1
+        q = self.q
+        z0 = [int(v) % q for v in proof.z0]
+        z_final = [int(v) % q for v in proof.z_final]
+
+        # 1. State-hash bindings of the last strict primary instance.
+        h1 = state_hash_host(self.pspec1, self.vk, proof.n_steps, z0,
+                             z_final, proof.U2)
+        assert proof.u1.X[0] == h1, "primary state hash mismatch"
+        h2 = state_hash_host(self.pspec2, self.vk, proof.n_steps, None,
+                             None, proof.U1)
+        assert proof.u1.X[1] == h2, "secondary state hash mismatch"
+
+        # 2. Relaxed satisfaction of both running accumulators.
+        self._check_relaxed(self.side1, proof.U1, proof.W1, proof.E1)
+        self._check_relaxed(self.side2, proof.U2, proof.W2, proof.E2)
+
+        # 3. Strict satisfaction of u1 (full witness vector: u=1, E=0),
+        #    IO binding, and its commitment.
+        s1 = self.side1
+        w = proof.w1
+        assert len(w) == s1.shape.n_vars and w[0] == 1
+        assert (int(w[1]), int(w[2])) == tuple(proof.u1.X), "u1 IO mismatch"
+        canon = jnp.asarray(s1.spec.batch_to_limbs(w))
+        comm = s1.ck.commit(canon[1 + s1.shape.n_io:], max_bits=256)
+        got = C.pt_to_affine_host(s1.curve, tuple(x[None] for x in comm))[0]
+        assert got == proof.u1.comm_W, "u1 commitment mismatch"
+        z_mont = s1._to_mont(canon)
+        az, bz, cz = s1._matvec(z_mont)
+        lhs = F.mont_mul(s1.spec, az, bz)
+        assert bool(jnp.all(lhs == cz)), "u1 R1CS unsatisfied"
+        return z_final

@@ -1,0 +1,135 @@
+"""Augmented IVC (RecursiveSNARK): in-circuit fold verifier vs host mirror.
+
+Fast tests exercise the augmented circuits through the DSL's self-checking
+evaluator against the host RO/fold mirrors — no commitments, no jit. The
+full prove+verify roundtrip (device commits on both curves) is slow-marked.
+"""
+
+import numpy as np
+import pytest
+
+import hotproofs_tpu.ops.curve as C
+from hotproofs_tpu.circuits import gadgets as g
+from hotproofs_tpu.circuits import nova_augmented as NA
+from hotproofs_tpu.circuits.dsl import eval_witness
+from hotproofs_tpu.nova import recursive as R
+
+
+def _toy_gadget(ctx, z_prev):
+    sq = g.mul(ctx, z_prev[0], z_prev[0], name="sq")
+    cube = g.mul(ctx, sq, z_prev[0], name="cube")
+    return [cube + 7]
+
+
+def _toy_host(z):
+    q = C.PALLAS.scalar.p
+    return [(pow(z[0], 3, q) + 7) % q]
+
+
+@pytest.fixture(scope="module")
+def snark():
+    return R.RecursiveSNARK(_toy_gadget, _toy_host, arity=1,
+                            label=b"test-recursive")
+
+
+def _eval_outputs(side, inputs):
+    w = eval_witness(side.circuit_fn, side.layout, inputs)
+    return (int(w[1]), int(w[2])), w
+
+
+def test_base_case_circuit_matches_host(snark):
+    """C1 at k=1 (base): constraints satisfied, output hash == host."""
+    z0 = [5]
+    u2 = R.StrictHost(comm_W=None, X=(0, 0))
+    inputs = {"k_prev": [0], "z0": z0, "z_prev": z0,
+              **R._relaxed_inputs("U", R.RelaxedHost()),
+              **R._strict_inputs("u", u2),
+              "T_cw": R._pt_enc(None)}
+    (h, echo), _ = _eval_outputs(snark.side1, inputs)
+    # In-circuit fold of u2 into the default U2 with the mirrored r.
+    r = R.fold_challenge_host(snark.pspec1, snark.vk, R.RelaxedHost(),
+                              u2, None)
+    U2_next = R.fold_relaxed_host(C.VESTA, snark.p, R.RelaxedHost(), u2,
+                                  None, r)
+    want = R.state_hash_host(snark.pspec1, snark.vk, 1, z0,
+                             _toy_host(z0), U2_next)
+    assert h == want
+    assert echo == 0
+
+
+def test_nonbase_fold_matches_host_mirror(snark):
+    """C1 at k=3 with a fabricated consistent prior state: the in-circuit
+    NIFS (RO + native EC + foreign BigNat folds) must reproduce the host
+    fold exactly, bit-for-bit through the output state hash."""
+    rng = np.random.RandomState(11)
+    pts = C.derive_generators(C.VESTA, b"test-rec-pts", 4)
+    p, q = snark.p, snark.q
+    z0, z_prev = [5], [1234567]
+    U2_prev = R.RelaxedHost(
+        comm_W=pts[0], comm_E=pts[1],
+        u=int.from_bytes(rng.bytes(32), "little") % p,
+        X=(int.from_bytes(rng.bytes(32), "little") % p,
+           int.from_bytes(rng.bytes(32), "little") % p))
+    h_prev = R.state_hash_host(snark.pspec1, snark.vk, 2, z0, z_prev,
+                               U2_prev)
+    u2 = R.StrictHost(comm_W=pts[2],
+                      X=(int.from_bytes(rng.bytes(32), "little") % p,
+                         h_prev))
+    T_bar = pts[3]
+    inputs = {"k_prev": [2], "z0": z0, "z_prev": z_prev,
+              **R._relaxed_inputs("U", U2_prev),
+              **R._strict_inputs("u", u2),
+              "T_cw": R._pt_enc(T_bar)}
+    (h, echo), _ = _eval_outputs(snark.side1, inputs)
+
+    r = R.fold_challenge_host(snark.pspec1, snark.vk, U2_prev, u2, T_bar)
+    U2_next = R.fold_relaxed_host(C.VESTA, p, U2_prev, u2, T_bar, r)
+    want = R.state_hash_host(snark.pspec1, snark.vk, 3, z0,
+                             _toy_host(z_prev), U2_next)
+    assert h == want
+    assert echo == u2.X[0] % q
+
+
+def test_nonbase_rejects_wrong_echo(snark):
+    z0, z_prev = [5], [99]
+    U2_prev = R.RelaxedHost()
+    u2 = R.StrictHost(comm_W=None, X=(0, 12345))  # wrong echo slot
+    inputs = {"k_prev": [1], "z0": z0, "z_prev": z_prev,
+              **R._relaxed_inputs("U", U2_prev),
+              **R._strict_inputs("u", u2),
+              "T_cw": R._pt_enc(None)}
+    with pytest.raises(AssertionError):
+        _eval_outputs(snark.side1, inputs)
+
+
+def test_secondary_base_outputs_default(snark):
+    """C2 at k=1: no fold (no u1_0); output hash is of the DEFAULT U1."""
+    inputs = {"k_prev": [0],
+              **R._relaxed_inputs("U", R.RelaxedHost()),
+              **R._strict_inputs("u", R.StrictHost()),
+              "T_cw": R._pt_enc(None)}
+    (h, echo), _ = _eval_outputs(snark.side2, inputs)
+    want = R.state_hash_host(snark.pspec2, snark.vk, 1, None, None,
+                             R.RelaxedHost())
+    assert h == want and echo == 0
+
+
+@pytest.mark.slow
+def test_recursive_prove_verify_roundtrip(tmp_path, snark):
+    proof = snark.prove([5], n_steps=3)
+    z_final = snark.verify(proof)
+    assert z_final == _toy_host(_toy_host(_toy_host([5])))
+    # Serialization roundtrip.
+    path = str(tmp_path / "rec.json")
+    proof.save(path)
+    assert snark.verify(R.RecursiveProof.load(path)) == z_final
+    # Tamper: claimed final state must be rejected by the hash binding.
+    bad = R.RecursiveProof.load(path)
+    bad.z_final = [(bad.z_final[0] + 1) % snark.q]
+    with pytest.raises(AssertionError):
+        snark.verify(bad)
+    # Tamper: swap a running-instance commitment.
+    bad2 = R.RecursiveProof.load(path)
+    bad2.U1.comm_W, bad2.U1.comm_E = bad2.U1.comm_E, bad2.U1.comm_W
+    with pytest.raises(AssertionError):
+        snark.verify(bad2)
