@@ -60,15 +60,22 @@ MAX_BLOCKS_PER_CHUNK = 16  # rust_fold/src/main.rs:25
 MAX_BYTES_PER_BLOCK = 64
 
 
-def nova_step(ctx, d_flags: int = 0) -> None:
-    """Build/eval one step. Witness layout: [1, z_out(15), z_in(15),
-    m(16), b(1), down_left(1), aux...]."""
-    z_out = ctx.declare_output("z_out", IO_ARITY)
-    z_in = ctx.declare_input("z_in", IO_ARITY, public=True)
+def declare_step_inputs(ctx):
+    """The step function's own per-step inputs (shared by the standalone
+    step circuit and the augmented recursive circuit, which must declare
+    them during its IO phase)."""
     m_in = ctx.declare_input("m", 16, public=False)
     b_in = ctx.declare_input("b", 1, public=False)
     dl_in = ctx.declare_input("down_left", 1, public=False)
+    return (m_in, b_in, dl_in)
 
+
+def nova_step_body(ctx, z_in, extra, d_flags: int = 0):
+    """The BLAKE3 chain-step transition as a pure gadget body:
+    z_in values + (m, b, down_left) -> the 15 z_out expressions.
+    Factored out of nova_step so circuits/nova_augmented.py can embed the
+    SAME logic as the F of the recursive IVC (f_gadget)."""
+    m_in, b_in, dl_in = extra
     n_blocks, block_count = z_in[0], z_in[1]
     h_words = list(z_in[2:10])
     total_depth, depth = z_in[10], z_in[11]
@@ -148,15 +155,21 @@ def nova_step(ctx, d_flags: int = 0) -> None:
         decr = g.mul(ctx, is_last_block + is_parent, 1 - is_root, name="decr")
         ctx.enforce(decr, 1 - decr, 0)
 
-    ctx.bind(z_out[0], n_blocks)
-    ctx.bind(z_out[1], block_count + not_parent)
-    for i in range(8):
-        ctx.bind(z_out[2 + i], out[i].word)
-    ctx.bind(z_out[10], total_depth)
-    ctx.bind(z_out[11], depth - decr)
-    ctx.bind(z_out[12], chunk_idx_low)
-    ctx.bind(z_out[13], chunk_idx_high)
-    ctx.bind(z_out[14], leaf_depth)
+    return ([n_blocks, block_count + not_parent]
+            + [out[i].word for i in range(8)]
+            + [total_depth, depth - decr, chunk_idx_low, chunk_idx_high,
+               leaf_depth])
+
+
+def nova_step(ctx, d_flags: int = 0) -> None:
+    """Build/eval one step. Witness layout: [1, z_out(15), z_in(15),
+    m(16), b(1), down_left(1), aux...]."""
+    z_out = ctx.declare_output("z_out", IO_ARITY)
+    z_in = ctx.declare_input("z_in", IO_ARITY, public=True)
+    extra = declare_step_inputs(ctx)
+    outs = nova_step_body(ctx, z_in, extra, d_flags)
+    for o, v in zip(z_out, outs):
+        ctx.bind(o, v)
 
 
 @lru_cache(maxsize=None)

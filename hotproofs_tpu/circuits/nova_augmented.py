@@ -240,15 +240,20 @@ def _declare_strict(ctx, prefix: str) -> StrictVar:
 def make_augmented_circuit(pspec: P.PoseidonSpec, b: int, m: int,
                            vk_value: int, arity: int,
                            f_gadget: Optional[Callable],
-                           fold_at_base: bool):
+                           fold_at_base: bool,
+                           f_extra_decl: Optional[Callable] = None):
     """Build the augmented circuit gadget.
 
     pspec: Poseidon spec over THIS circuit's field. b: coefficient of the
     OTHER curve (whose base field is this field); b3 = 3b. m: the other
     circuit's field modulus. arity: z-state length (0 on the trivial
-    side). f_gadget(ctx, z_prev) -> z_next, or None for trivial (z passes
-    through). fold_at_base: True for C1 (folds the same-step u2 even at
-    k=1), False for C2 (no u1_0 exists; base outputs U_prev = default).
+    side). f_gadget(ctx, z_prev, extra) -> z_next, or None for trivial (z
+    passes through). f_extra_decl(ctx) -> extra declares the step
+    function's own per-step inputs (e.g. the BLAKE3 message block) during
+    the IO-declaration phase — the DSL freezes IO at the first aux
+    allocation, so F cannot declare inputs itself. fold_at_base: True for
+    C1 (folds the same-step u2 even at k=1), False for C2 (no u1_0
+    exists; base outputs U_prev = default).
 
     IO: out[0] = H(vk, k, [z0, z_k], U_next); out[1] = echo (the folded
     strict instance's X[0], composed to a native element).
@@ -267,6 +272,7 @@ def make_augmented_circuit(pspec: P.PoseidonSpec, b: int, m: int,
         u_other = _declare_strict(ctx, "u")
         tb = ctx.declare_input("T_cw", 3, public=False)
         T_bar = tuple(tb)
+        extra = f_extra_decl(ctx) if f_extra_decl is not None else None
 
         vk = vk_value % ctx.p
         is_base = g.is_zero(ctx, k_prev)
@@ -328,7 +334,7 @@ def make_augmented_circuit(pspec: P.PoseidonSpec, b: int, m: int,
 
         # Step function.
         if f_gadget is not None:
-            z_next = f_gadget(ctx, list(z_prev))
+            z_next = f_gadget(ctx, list(z_prev), extra)
         else:
             z_next = z_prev
 

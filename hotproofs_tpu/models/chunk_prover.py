@@ -167,12 +167,44 @@ class SegmentedChunkProof:
             total_depth=int(d["total_depth"]))
 
 
+@dataclass
+class RecursiveChunkProof:
+    """Chunk statement + an augmented-IVC proof (nova/recursive.py):
+    verification work independent of the chain length."""
+
+    rec: "object"     # nova.recursive.RecursiveProof
+    chunk_idx: int
+    n_blocks: int
+    leaf_depth: int
+    total_depth: int
+
+    def save(self, path: str) -> None:
+        serial.dump("recursive_chunk_proof", {
+            "rec": self.rec.to_dict(),
+            "chunk_idx": int(self.chunk_idx),
+            "n_blocks": int(self.n_blocks),
+            "leaf_depth": int(self.leaf_depth),
+            "total_depth": int(self.total_depth),
+        }, path)
+
+    @staticmethod
+    def load(path: str) -> "RecursiveChunkProof":
+        from ..nova.recursive import RecursiveProof
+        d = serial.load("recursive_chunk_proof", path)
+        return RecursiveChunkProof(
+            rec=RecursiveProof.from_dict(d["rec"]),
+            chunk_idx=int(d["chunk_idx"]), n_blocks=int(d["n_blocks"]),
+            leaf_depth=int(d["leaf_depth"]),
+            total_depth=int(d["total_depth"]))
+
+
 class ChunkProver:
     """prove/verify pair for BLAKE3 chunk possession (Pasta by default)."""
 
     def __init__(self, curve: str = "pallas"):
         self.ivc, self.layout, self.modulus = _build_stack(curve)
         self._spartan = None
+        self._recursive = None
 
     # ------------------------------------------------------------------
     def prove(self, data: bytes, chunk_idx: int, progress: bool = False,
@@ -308,6 +340,58 @@ class ChunkProver:
             n_blocks=proof.n_blocks, leaf_depth=proof.leaf_depth,
             total_depth=proof.total_depth)
 
+    # ------------------------------------------------------------------
+    @property
+    def recursive(self):
+        """Lazily-built RecursiveSNARK with the BLAKE3 step as F — the
+        augmented-IVC engine (O(1) verifier; docs/AUGMENTED.md).
+        Currently Pasta-cycle only (the default engine)."""
+        if self._recursive is None:
+            from ..nova.recursive import RecursiveSNARK
+
+            def f_gadget(ctx, z_prev, extra):
+                return nova_circ.nova_step_body(ctx, z_prev, extra, 0)
+
+            def f_host(z, extra):
+                step = nova_circ.StepInputs(
+                    m=tuple(extra["m"]), b=int(extra["b"][0]),
+                    down_left=int(extra["down_left"][0]))
+                _, z_out = nova_circ.eval_step_witness(
+                    z, step, self.modulus)
+                return z_out
+
+            self._recursive = RecursiveSNARK(
+                f_gadget, f_host, arity=IO_ARITY, label=b"blake3-rec",
+                f_extra_decl=nova_circ.declare_step_inputs)
+        return self._recursive
+
+    def prove_recursive(self, data: bytes, chunk_idx: int,
+                        progress: bool = False):
+        """Prove via the augmented recursive IVC: per-step in-circuit fold
+        verification, chain-length-independent verifier work. Returns
+        (root_hash, RecursiveChunkProof)."""
+        proof_data = b3.hash_with_path(data, chunk_idx)
+        sched = nova_circ.build_schedule(proof_data)
+        step_inputs = [{"m": list(s.m), "b": [s.b],
+                        "down_left": [s.down_left]} for s in sched.steps]
+        rproof = self.recursive.prove(sched.z0, len(sched.steps),
+                                      step_inputs=step_inputs,
+                                      progress=progress)
+        proof = RecursiveChunkProof(
+            rec=rproof, chunk_idx=chunk_idx, n_blocks=proof_data.n_blocks,
+            leaf_depth=proof_data.leaf_depth,
+            total_depth=proof_data.total_depth)
+        return proof_data.root_hash, proof
+
+    def verify_recursive(self, proof: "RecursiveChunkProof",
+                         expected_hash: Optional[bytes] = None) -> bytes:
+        self._check_statement(
+            proof.rec.z0, proof.rec.n_steps, proof.chunk_idx,
+            proof.n_blocks, proof.leaf_depth, proof.total_depth)
+        z_final = self.recursive.verify(proof.rec)
+        return self._check_final(z_final, proof.n_blocks, expected_hash)
+
+    # ------------------------------------------------------------------
     def prove_segmented(self, data: bytes, chunk_idx: int, n_segments: int,
                         devices=None, progress: bool = False):
         """Prove a chunk as n_segments independent parallel fold chains

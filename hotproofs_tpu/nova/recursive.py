@@ -286,7 +286,8 @@ class RecursiveSNARK:
     Pallas' scalar field), secondary = Vesta-committed."""
 
     def __init__(self, f_gadget: Callable, f_host: Callable, arity: int,
-                 label: bytes = b"recursive"):
+                 label: bytes = b"recursive",
+                 f_extra_decl: Optional[Callable] = None):
         q = C.PALLAS.scalar.p       # primary circuit field
         p = C.VESTA.scalar.p        # secondary circuit field
         self.q, self.p = q, p
@@ -301,21 +302,33 @@ class RecursiveSNARK:
         # with vk=0 to get shapes, then rebuild with the real vk).
         c1_probe = NA.make_augmented_circuit(
             self.pspec1, C.VESTA.b, p, 0, arity, f_gadget,
-            fold_at_base=True)
+            fold_at_base=True, f_extra_decl=f_extra_decl)
         c2_probe = NA.make_augmented_circuit(
             self.pspec2, C.PALLAS.b, q, 0, 0, None, fold_at_base=False)
         r1, _ = compile_circuit(c1_probe, q)
         r2, _ = compile_circuit(c2_probe, p)
+        # vk binds the FULL probe shapes (all three matrices' sparsity and
+        # values; the vk-embedding real circuits are deterministic given
+        # the probe + vk) plus the commitment-key label.
+        def _mat_bytes(r1cs):
+            parts = []
+            for rows, cols, vals in (r1cs.A, r1cs.B, r1cs.C):
+                parts.append(b"".join(
+                    int(r_).to_bytes(4, "little")
+                    + int(c_).to_bytes(4, "little")
+                    + (int(v_) % (1 << 256)).to_bytes(32, "little")
+                    for r_, c_, v_ in zip(rows, cols, vals)))
+            parts.append(np.asarray(
+                [r1cs.n_constraints, r1cs.n_signals, r1cs.n_io],
+                np.int64).tobytes())
+            return b"".join(parts)
         self.vk = digest_of(
-            label,
-            np.asarray([r1.n_constraints, r1.n_signals, len(r1.A)],
-                       np.int64).tobytes(),
-            np.asarray([r2.n_constraints, r2.n_signals, len(r2.A)],
-                       np.int64).tobytes(),
+            label, _mat_bytes(r1), _mat_bytes(r2),
         ) % (1 << NA.CHALLENGE_BITS)
 
         c1 = NA.make_augmented_circuit(self.pspec1, C.VESTA.b, p, self.vk,
-                                       arity, f_gadget, fold_at_base=True)
+                                       arity, f_gadget, fold_at_base=True,
+                                       f_extra_decl=f_extra_decl)
         c2 = NA.make_augmented_circuit(self.pspec2, C.PALLAS.b, q, self.vk,
                                        0, None, fold_at_base=False)
         self.side1 = Side("primary", c1, q, C.PALLAS, label + b"-1")
@@ -323,7 +336,11 @@ class RecursiveSNARK:
 
     # -- proving ------------------------------------------------------------
     def prove(self, z0: Sequence[int], n_steps: int,
+              step_inputs: Optional[List[dict]] = None,
               progress: bool = False) -> RecursiveProof:
+        """step_inputs[k-1]: extra named inputs for F at step k (the
+        per-step message block etc., matching f_extra_decl's names); also
+        passed to f_host as its second argument when present."""
         q, p = self.q, self.p
         z0 = [int(v) % q for v in z0]
         z = list(z0)
@@ -353,11 +370,15 @@ class RecursiveSNARK:
                           "U_before": U2_prev}
             fold2 = s2.fold_pending(self.pspec1, self.vk, p)
             # D. Synthesize C1_k (over F_q).
-            z_next = [int(v) % q for v in self.f_host(z)]
+            extra = step_inputs[k - 1] if step_inputs else None
+            z_next = [int(v) % q for v in (
+                self.f_host(z, extra) if extra is not None
+                else self.f_host(z))]
             inputs1 = {"k_prev": [k - 1], "z0": z0, "z_prev": z,
                        **_relaxed_inputs("U", U2_prev),
                        **_strict_inputs("u", u2_k),
-                       "T_cw": _pt_enc(fold2["T_bar"])}
+                       "T_cw": _pt_enc(fold2["T_bar"]),
+                       **(extra or {})}
             u1_k, dev1 = s1.synthesize(inputs1)
             assert u1_k.X[0] == state_hash_host(
                 self.pspec1, self.vk, k, z0, z_next, s2.acc), \

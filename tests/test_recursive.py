@@ -15,7 +15,7 @@ from hotproofs_tpu.circuits.dsl import eval_witness
 from hotproofs_tpu.nova import recursive as R
 
 
-def _toy_gadget(ctx, z_prev):
+def _toy_gadget(ctx, z_prev, extra):
     sq = g.mul(ctx, z_prev[0], z_prev[0], name="sq")
     cube = g.mul(ctx, sq, z_prev[0], name="cube")
     return [cube + 7]
@@ -133,3 +133,18 @@ def test_recursive_prove_verify_roundtrip(tmp_path, snark):
     bad2.U1.comm_W, bad2.U1.comm_E = bad2.U1.comm_E, bad2.U1.comm_W
     with pytest.raises(AssertionError):
         snark.verify(bad2)
+
+
+@pytest.mark.slow
+def test_recursive_chunk_proof_single_block():
+    from hotproofs_tpu.core import blake3_ref as b3
+    from hotproofs_tpu.models.chunk_prover import (ChunkProver,
+                                                   RecursiveChunkProof)
+    prover = ChunkProver()
+    data = bytes([7] * 10)   # 1 block, leaf_depth 1 -> 1 recursive step
+    root, proof = prover.prove_recursive(data, 0)
+    assert root == b3.hash_bytes(data)
+    assert prover.verify_recursive(proof, expected_hash=root) == root
+    proof.chunk_idx = 1
+    with pytest.raises(AssertionError):
+        prover.verify_recursive(proof)
