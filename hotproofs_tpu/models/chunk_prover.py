@@ -207,9 +207,18 @@ class ChunkProver:
         self._recursive = None
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _hash_with_path(data: bytes, chunk_idx: int):
+        """Data ingestion: native C++ tree hasher when available (~3 orders
+        of magnitude over the Python oracle), oracle fallback otherwise."""
+        from ..core import native
+        pd = native.hash_with_path(data, chunk_idx) \
+            if native.get_lib() is not None else None
+        return pd if pd is not None else b3.hash_with_path(data, chunk_idx)
+
     def prove(self, data: bytes, chunk_idx: int, progress: bool = False,
               fast: bool = True, mesh=None) -> Tuple[bytes, ChunkProof]:
-        proof_data = b3.hash_with_path(data, chunk_idx)
+        proof_data = self._hash_with_path(data, chunk_idx)
         if fast:
             sched, ivc_proof = self._prove_fast(proof_data, progress, mesh)
         else:
@@ -370,7 +379,7 @@ class ChunkProver:
         """Prove via the augmented recursive IVC: per-step in-circuit fold
         verification, chain-length-independent verifier work. Returns
         (root_hash, RecursiveChunkProof)."""
-        proof_data = b3.hash_with_path(data, chunk_idx)
+        proof_data = self._hash_with_path(data, chunk_idx)
         sched = nova_circ.build_schedule(proof_data)
         step_inputs = [{"m": list(s.m), "b": [s.b],
                         "down_left": [s.down_left]} for s in sched.steps]
@@ -399,7 +408,7 @@ class ChunkProver:
         (root_hash, SegmentedChunkProof)."""
         from ..parallel.segments import prove_segments
 
-        proof_data = b3.hash_with_path(data, chunk_idx)
+        proof_data = self._hash_with_path(data, chunk_idx)
         zs, sched, canon, X_host = self._device_witness_chain(proof_data)
         seg = prove_segments(self.ivc, zs, canon, X_host, n_segments,
                              devices=devices, progress=progress)
