@@ -150,7 +150,13 @@ class Side:
         self.shape = ShapeDevice.from_dsl(r1cs)
         assert self.shape.n_io == 2
         self.curve = commit_curve
-        self.ck = CommitmentKey.create(commit_curve, label, self.shape.n_wit)
+        # ONE padded power-of-two commit size shared by witness commits,
+        # cross-term commits and the verifier's recomputes: every MSM on
+        # this side reuses a single compiled program (each distinct MSM
+        # shape costs a full XLA compile — ~30 min on this host's CPU).
+        self.n_pad = 1 << (max(self.shape.n_wit, self.shape.n_cons)
+                           - 1).bit_length()
+        self.ck = CommitmentKey.create(commit_curve, label, self.n_pad)
         self.spec = self.shape.field
         self._matvec = jax.jit(lambda z: matvec_all(self.shape, z))
         self._to_mont = F.jitted("to_mont", self.spec)
@@ -169,6 +175,17 @@ class Side:
         return jnp.asarray(F.int_to_limbs(
             v * self.spec.r_mod_p % self.spec.p))
 
+    def commit(self, vec_canon) -> Affine:
+        """Pedersen commit via the side's single padded MSM program."""
+        n = vec_canon.shape[0]
+        if n < self.n_pad:
+            vec_canon = jnp.concatenate(
+                [vec_canon, jnp.zeros((self.n_pad - n, F.N_LIMBS),
+                                      jnp.int32)], axis=0)
+        pt = self.ck.commit(vec_canon, max_bits=256)
+        return C.pt_to_affine_host(
+            self.curve, tuple(x[None] for x in pt))[0]
+
     def synthesize(self, inputs) -> Tuple[StrictHost, dict]:
         """Run the augmented circuit's evaluator (self-checking), commit
         the witness, return the strict instance + device tensors."""
@@ -177,10 +194,7 @@ class Side:
         canon = witness_to_device(self.spec, w)
         z_mont = self._to_mont(canon)
         az, bz, cz = self._matvec(z_mont)
-        wit_canon = canon[1 + self.shape.n_io:]
-        comm = self.ck.commit(wit_canon, max_bits=256)
-        comm_W = C.pt_to_affine_host(
-            self.curve, tuple(x[None] for x in comm))[0]
+        comm_W = self.commit(canon[1 + self.shape.n_io:])
         strict = StrictHost(comm_W=comm_W, X=X)
         return strict, {"z_mont": z_mont, "az": az, "bz": bz, "cz": cz,
                         "canon": canon}
@@ -194,9 +208,7 @@ class Side:
         u_mont = self._mont_scalar(self.acc.u)
         T = self._cross(self.acc_dev, dev["az"], dev["bz"], dev["cz"],
                         u_mont)
-        comm_T = self.ck.commit(self._from_mont(T), max_bits=256)
-        T_bar = C.pt_to_affine_host(
-            self.curve, tuple(x[None] for x in comm_T))[0]
+        T_bar = self.commit(self._from_mont(T))
         r = fold_challenge_host(pspec, vk, self.acc, strict, T_bar)
         self.acc = fold_relaxed_host(self.curve, m, self.acc, strict,
                                      T_bar, r)
@@ -412,10 +424,8 @@ class RecursiveSNARK:
         E_canon = jnp.asarray(spec.batch_to_limbs(E))
         for vec, claimed, nm in ((W_canon, U.comm_W, "W"),
                                  (E_canon, U.comm_E, "E")):
-            comm = side.ck.commit(vec, max_bits=256)
-            got = C.pt_to_affine_host(
-                side.curve, tuple(x[None] for x in comm))[0]
-            assert got == claimed, f"comm_{nm} mismatch ({side.name})"
+            assert side.commit(vec) == claimed, \
+                f"comm_{nm} mismatch ({side.name})"
         u_mont = side._mont_scalar(U.u)
         x_mont = side._to_mont(jnp.asarray(spec.batch_to_limbs(list(U.X))))
         w_mont = side._to_mont(W_canon)
@@ -454,9 +464,8 @@ class RecursiveSNARK:
         assert len(w) == s1.shape.n_vars and w[0] == 1
         assert (int(w[1]), int(w[2])) == tuple(proof.u1.X), "u1 IO mismatch"
         canon = jnp.asarray(s1.spec.batch_to_limbs(w))
-        comm = s1.ck.commit(canon[1 + s1.shape.n_io:], max_bits=256)
-        got = C.pt_to_affine_host(s1.curve, tuple(x[None] for x in comm))[0]
-        assert got == proof.u1.comm_W, "u1 commitment mismatch"
+        assert s1.commit(canon[1 + s1.shape.n_io:]) == proof.u1.comm_W, \
+            "u1 commitment mismatch"
         z_mont = s1._to_mont(canon)
         az, bz, cz = s1._matvec(z_mont)
         lhs = F.mont_mul(s1.spec, az, bz)

@@ -114,6 +114,67 @@ def test_secondary_base_outputs_default(snark):
     assert h == want and echo == 0
 
 
+def _patched_fake_commits(snark):
+    """Deterministic hash-to-scalar*G 'commitments' replacing the real
+    Pedersen MSMs: this host's XLA CPU backend takes ~35 min to compile ONE
+    full-width MSM, so the fast suite validates the complete recursive
+    protocol (both circuits, RO mirrors, instance folds, hash bindings,
+    satisfiability checks) with the MSM swapped for a cheap deterministic
+    commitment; real-MSM roundtrips run in the slow tier / on TPU. Returns
+    a context manager restoring the real commits."""
+    import contextlib
+    import hashlib
+
+    @contextlib.contextmanager
+    def patched():
+        try:
+            for side in (snark.side1, snark.side2):
+                G = C.derive_generators(side.curve, b"fake-commit", 1)[0]
+                q = side.curve.scalar.p
+                # Pedersen-in-the-exponent: commit(v) = (sum v_i k_i)·G —
+                # HOMOMORPHIC (the folds rely on it), one host scalar mult.
+                ks = [int.from_bytes(hashlib.sha256(
+                    b"k%d" % i).digest(), "little") % q
+                    for i in range(side.shape.n_vars)]
+
+                def commit(vec_canon, _side=side, _G=G, _ks=ks, _q=q):
+                    vals = _side.spec.limbs_to_ints(np.asarray(vec_canon))
+                    s_ = sum(int(v) * k for v, k in zip(vals, _ks)) % _q
+                    return C.host_scalar_mul(_side.curve, s_, _G)
+
+                side.commit = commit
+            yield
+        finally:
+            for side in (snark.side1, snark.side2):
+                side.__dict__.pop("commit", None)
+
+    return patched()
+
+
+def test_roundtrip_with_commitment_oracle(tmp_path, snark):
+    """Full 3-step prove/verify/tamper roundtrip with the commitment
+    oracle (fast); the real-MSM version is the slow test below."""
+    with _patched_fake_commits(snark):
+        proof = snark.prove([5], n_steps=3)
+        z_final = snark.verify(proof)
+        assert z_final == _toy_host(_toy_host(_toy_host([5])))
+        path = str(tmp_path / "rec.json")
+        proof.save(path)
+        assert snark.verify(R.RecursiveProof.load(path)) == z_final
+        bad = R.RecursiveProof.load(path)
+        bad.z_final = [(bad.z_final[0] + 1) % snark.q]
+        with pytest.raises(AssertionError):
+            snark.verify(bad)
+        bad2 = R.RecursiveProof.load(path)
+        bad2.U1.comm_W, bad2.U1.comm_E = bad2.U1.comm_E, bad2.U1.comm_W
+        with pytest.raises(AssertionError):
+            snark.verify(bad2)
+        bad3 = R.RecursiveProof.load(path)
+        bad3.W1[5] = (bad3.W1[5] + 1) % snark.q
+        with pytest.raises(AssertionError):
+            snark.verify(bad3)
+
+
 @pytest.mark.slow
 def test_recursive_prove_verify_roundtrip(tmp_path, snark):
     proof = snark.prove([5], n_steps=3)
