@@ -292,6 +292,65 @@ class RecursiveProof:
         return RecursiveProof.from_dict(serial.load("recursive_proof", path))
 
 
+@dataclass
+class CompressedRecursiveProof:
+    """O(1)-verifier proof with the witness vectors REPLACED by Spartan
+    arguments (nova/spartan.py): the reference's full pipeline shape —
+    CompressedSNARK::prove over a RecursiveSNARK (main.rs:260-315) —
+    with three relaxed claims (U1, U2, and the last strict primary
+    instance treated as relaxed with u=1, E=0)."""
+
+    n_steps: int
+    z0: List[int]
+    z_final: List[int]
+    U1: RelaxedHost
+    U2: RelaxedHost
+    u1: StrictHost
+    sp1: "object"      # SpartanProof for (U1, W1, E1)
+    sp2: "object"      # SpartanProof for (U2, W2, E2)
+    sp_u1: "object"    # SpartanProof for the strict primary instance
+
+    def to_dict(self) -> dict:
+        enc_rel = lambda U: {"cw": serial.enc_point(U.comm_W),
+                             "ce": serial.enc_point(U.comm_E),
+                             "u": int(U.u), "x": serial.enc_ints(U.X)}
+        return {
+            "n_steps": int(self.n_steps),
+            "z0": serial.enc_ints(self.z0),
+            "z_final": serial.enc_ints(self.z_final),
+            "U1": enc_rel(self.U1), "U2": enc_rel(self.U2),
+            "u1": {"cw": serial.enc_point(self.u1.comm_W),
+                   "x": serial.enc_ints(self.u1.X)},
+            "sp1": self.sp1.to_dict(), "sp2": self.sp2.to_dict(),
+            "sp_u1": self.sp_u1.to_dict(),
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "CompressedRecursiveProof":
+        from .spartan import SpartanProof
+        dec_rel = lambda r: RelaxedHost(
+            comm_W=serial.dec_point(r["cw"]),
+            comm_E=serial.dec_point(r["ce"]),
+            u=int(r["u"]), X=tuple(serial.enc_ints(r["x"])))
+        return CompressedRecursiveProof(
+            n_steps=int(d["n_steps"]), z0=serial.enc_ints(d["z0"]),
+            z_final=serial.enc_ints(d["z_final"]),
+            U1=dec_rel(d["U1"]), U2=dec_rel(d["U2"]),
+            u1=StrictHost(comm_W=serial.dec_point(d["u1"]["cw"]),
+                          X=tuple(serial.enc_ints(d["u1"]["x"]))),
+            sp1=SpartanProof.from_dict(d["sp1"]),
+            sp2=SpartanProof.from_dict(d["sp2"]),
+            sp_u1=SpartanProof.from_dict(d["sp_u1"]))
+
+    def save(self, path: str) -> None:
+        serial.dump("compressed_recursive_proof", self.to_dict(), path)
+
+    @staticmethod
+    def load(path: str) -> "CompressedRecursiveProof":
+        return CompressedRecursiveProof.from_dict(
+            serial.load("compressed_recursive_proof", path))
+
+
 class RecursiveSNARK:
     """Two-cycle augmented IVC. f_gadget/f_host: the step function as a DSL
     gadget and its host mirror. Primary = Pallas-committed (circuit over
@@ -414,6 +473,60 @@ class RecursiveSNARK:
             W2=ints(s2, s2.acc_dev.W), E2=ints(s2, s2.acc_dev.E),
             w1=[int(v) for v in self.side1.spec.limbs_to_ints(
                 np.asarray(pend["dev"]["canon"]))])
+
+    # -- compression ----------------------------------------------------------
+    def _spartan(self, side: Side):
+        from .spartan import SpartanSystem
+        if not hasattr(side, "_spartan_sys"):
+            side._spartan_sys = SpartanSystem(
+                shape=side.shape, curve=side.curve, ck=side.ck,
+                pp_digest=self.vk)
+        return side._spartan_sys
+
+    def _instances(self, proof) -> tuple:
+        """The three relaxed instances of a final recursive state (the
+        strict u1 is relaxed with u=1, E=0 / identity comm_E)."""
+        i1 = NF.AccumulatorInstance(u=proof.U1.u, X=list(proof.U1.X),
+                                    comm_W=proof.U1.comm_W,
+                                    comm_E=proof.U1.comm_E)
+        i2 = NF.AccumulatorInstance(u=proof.U2.u, X=list(proof.U2.X),
+                                    comm_W=proof.U2.comm_W,
+                                    comm_E=proof.U2.comm_E)
+        iu = NF.AccumulatorInstance(u=1, X=list(proof.u1.X),
+                                    comm_W=proof.u1.comm_W, comm_E=None)
+        return i1, i2, iu
+
+    def compress(self, proof: RecursiveProof) -> CompressedRecursiveProof:
+        """Drop all witness vectors: three Spartan arguments instead."""
+        i1, i2, iu = self._instances(proof)
+        s1, s2 = self.side1, self.side2
+        sp1 = self._spartan(s1).prove_relaxed(i1, proof.W1, proof.E1)
+        sp2 = self._spartan(s2).prove_relaxed(i2, proof.W2, proof.E2)
+        w1_wit = [int(v) for v in proof.w1[1 + s1.shape.n_io:]]
+        zeros_e = [0] * s1.shape.n_cons
+        sp_u1 = self._spartan(s1).prove_relaxed(iu, w1_wit, zeros_e)
+        return CompressedRecursiveProof(
+            n_steps=proof.n_steps, z0=list(proof.z0),
+            z_final=list(proof.z_final), U1=proof.U1, U2=proof.U2,
+            u1=proof.u1, sp1=sp1, sp2=sp2, sp_u1=sp_u1)
+
+    def verify_compressed(self, cp: CompressedRecursiveProof) -> List[int]:
+        """O(1)-work + polylog proof: hash bindings + 3 Spartan checks."""
+        assert cp.n_steps >= 1
+        q = self.q
+        z0 = [int(v) % q for v in cp.z0]
+        z_final = [int(v) % q for v in cp.z_final]
+        h1 = state_hash_host(self.pspec1, self.vk, cp.n_steps, z0,
+                             z_final, cp.U2)
+        assert cp.u1.X[0] == h1, "primary state hash mismatch"
+        h2 = state_hash_host(self.pspec2, self.vk, cp.n_steps, None,
+                             None, cp.U1)
+        assert cp.u1.X[1] == h2, "secondary state hash mismatch"
+        i1, i2, iu = self._instances(cp)
+        self._spartan(self.side1).verify_relaxed(i1, cp.sp1)
+        self._spartan(self.side2).verify_relaxed(i2, cp.sp2)
+        self._spartan(self.side1).verify_relaxed(iu, cp.sp_u1)
+        return z_final
 
     # -- verification ---------------------------------------------------------
     def _check_relaxed(self, side: Side, U: RelaxedHost, W: List[int],

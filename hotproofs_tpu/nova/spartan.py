@@ -359,19 +359,33 @@ class CompressedProof:
 
 
 class SpartanSystem:
-    def __init__(self, ivc: IVC):
+    """Succinct argument for ONE relaxed R1CS claim over (shape, ck).
+
+    Two entry levels: prove_relaxed/verify_relaxed work on a bare
+    (instance, witness) pair — reusable by any accumulator producer (the
+    recursive SNARK compresses its three final instances through them);
+    compress/verify wrap an IVCProof (replay the chain's instance folds,
+    then prove the folded claim)."""
+
+    def __init__(self, ivc: Optional[IVC] = None, shape=None, curve=None,
+                 ck=None, pp_digest: Optional[int] = None):
         self.ivc = ivc
-        shape = ivc.shape
+        if ivc is not None:
+            shape, curve, ck = ivc.shape, ivc.curve, ivc.ck
+            pp_digest = ivc.pp_digest
+        self.shape = shape
+        self.ck = ck
+        self.pp_digest = pp_digest
         self.fspec = shape.field
-        self.curve = ivc.curve
+        self.curve = curve
         p = self.fspec.p
         self.m = _next_pow2(shape.n_cons)          # sum-check 1 domain
         self.nz = _next_pow2(shape.n_vars)         # sum-check 2 domain
         self.n_ipa_w = _next_pow2(shape.n_wit)
         self.n_ipa_e = self.m
         need = max(self.n_ipa_w, self.n_ipa_e)
-        assert ivc.ck.n >= need, \
-            f"commitment key too small for IPA: has {ivc.ck.n}, need {need}" \
+        assert ck.n >= need, \
+            f"commitment key too small for IPA: has {ck.n}, need {need}" \
             " (create the key with a power-of-two size >= max(n_wit, n_cons))"
         # Transposed matrices: L[y] = sum_x eq_rx[x] * M[x, y]  as an SpMV
         # over the column-sorted COO (same segmented-scan kernel).
@@ -404,7 +418,7 @@ class SpartanSystem:
 
     def _transcript(self, inst: AccumulatorInstance) -> Transcript:
         tr = Transcript(self.fspec.name + "", b"spartan",
-                        self.ivc.pp_digest)
+                        self.pp_digest)
         tr.absorb_scalar(inst.u)
         tr.absorb_scalars(inst.X)
         tr.absorb_point(inst.comm_W)
@@ -525,22 +539,37 @@ class SpartanSystem:
         pad = jnp.zeros((n - arr.shape[0], F.N_LIMBS), jnp.int32)
         return jnp.concatenate([arr, pad], axis=0)
 
+    def _matvec_jit(self):
+        if "matvec" not in self._jits:
+            self._jits["matvec"] = jax.jit(
+                lambda z: matvec_all(self.shape, z))
+        return self._jits["matvec"]
+
     # -- prove --------------------------------------------------------------
     def compress(self, proof: IVCProof, io_arity: int) -> CompressedProof:
         """Compress an IVCProof: replay the instance folding, then prove the
         folded claim. The returned proof drops final_W/final_E."""
-        ivc, fs, shape = self.ivc, self.fspec, self.ivc.shape
+        inst = self.ivc.fold_instances_only(proof, io_arity)
+        spartan = self.prove_relaxed(inst, proof.final_W, proof.final_E)
+        chain = IVCProof(z0=list(proof.z0), steps=list(proof.steps),
+                         comm_Ts=list(proof.comm_Ts), final_W=[],
+                         final_E=[], pp_digest=proof.pp_digest)
+        return CompressedProof(chain=chain, spartan=spartan)
+
+    def prove_relaxed(self, inst: AccumulatorInstance, final_W, final_E
+                      ) -> SpartanProof:
+        """Succinct argument that (inst, W, E) satisfies the relaxed R1CS:
+        the witness vectors are consumed here and NOT shipped."""
+        fs, shape = self.fspec, self.shape
         p = fs.p
-        inst = ivc.fold_instances_only(proof, io_arity)
         u, X = inst.u, list(inst.X)
 
         to_mont = F.jitted("to_mont", fs)
-        z_ints = [u] + [x % p for x in X] + [v % p for v in proof.final_W]
+        z_ints = [u] + [x % p for x in X] + [v % p for v in final_W]
         z_mont = to_mont(jnp.asarray(fs.batch_to_limbs(z_ints)))
-        az, bz, cz = ivc._jit("matvec",
-                              lambda z: matvec_all(shape, z))(z_mont)
+        az, bz, cz = self._matvec_jit()(z_mont)
         e_mont = to_mont(jnp.asarray(fs.batch_to_limbs(
-            [v % p for v in proof.final_E])))
+            [v % p for v in final_E])))
 
         az, bz, cz = (self._pad(x, self.m) for x in (az, bz, cz))
         e_pad = self._pad(e_mont, self.m)
@@ -598,33 +627,36 @@ class SpartanSystem:
 
         n_io = shape.n_io
         W_mont = to_mont(jnp.asarray(fs.batch_to_limbs(
-            [v % p for v in proof.final_W])))
+            [v % p for v in final_W])))
         b_w = self._pad(F.jitted("to_mont", fs)(jnp.asarray(
             fs.batch_to_limbs(eq_y[1 + n_io: 1 + n_io + shape.n_wit]))),
             self.n_ipa_w)
-        gens_w = tuple(x[: self.n_ipa_w] for x in ivc.ck.points)
+        gens_w = tuple(x[: self.n_ipa_w] for x in self.ck.points)
         ipa_W = self.ipa.prove(tr, gens_w, self._pad(W_mont, self.n_ipa_w),
                                b_w, inst.comm_W, w_claim)
 
         b_e = eq_rx  # length m == n_ipa_e
-        gens_e = tuple(x[: self.n_ipa_e] for x in ivc.ck.points)
+        gens_e = tuple(x[: self.n_ipa_e] for x in self.ck.points)
         ipa_E = self.ipa.prove(tr, gens_e, self._pad(e_mont, self.n_ipa_e),
                                b_e, inst.comm_E, vE)
 
-        chain = IVCProof(z0=list(proof.z0), steps=list(proof.steps),
-                         comm_Ts=list(proof.comm_Ts), final_W=[],
-                         final_E=[], pp_digest=proof.pp_digest)
-        return CompressedProof(chain=chain, spartan=SpartanProof(
+        return SpartanProof(
             sc1_evals=sc1_evals, vA=vA, vB=vB, vC=vC, vE=vE,
-            sc2_evals=sc2_evals, ipa_W=ipa_W, ipa_E=ipa_E))
+            sc2_evals=sc2_evals, ipa_W=ipa_W, ipa_E=ipa_E)
 
     # -- verify -------------------------------------------------------------
     def verify(self, cp: CompressedProof, io_arity: int) -> List[int]:
         """Full verification of a compressed proof; returns z_final."""
-        ivc, fs, shape = self.ivc, self.fspec, self.ivc.shape
+        inst = self.ivc.fold_instances_only(cp.chain, io_arity)
+        self.verify_relaxed(inst, cp.spartan)
+        return cp.chain.steps[-1].X[:io_arity]
+
+    def verify_relaxed(self, inst: AccumulatorInstance,
+                       sp: SpartanProof) -> None:
+        """Verify a Spartan argument against a relaxed instance; raises on
+        failure."""
+        fs, shape = self.fspec, self.shape
         p = fs.p
-        sp = cp.spartan
-        inst = ivc.fold_instances_only(cp.chain, io_arity)
         u, X = inst.u, list(inst.X)
 
         tr = self._transcript(inst)
@@ -679,12 +711,10 @@ class SpartanSystem:
             fs.batch_to_limbs(
                 eq_ry_host[1 + n_io: 1 + n_io + shape.n_wit]))),
             self.n_ipa_w)
-        gens_w = tuple(x[: self.n_ipa_w] for x in ivc.ck.points)
+        gens_w = tuple(x[: self.n_ipa_w] for x in self.ck.points)
         assert self.ipa.verify(tr, gens_w, b_w, inst.comm_W, w_claim,
                                sp.ipa_W), "IPA opening of W failed"
 
-        gens_e = tuple(x[: self.n_ipa_e] for x in ivc.ck.points)
+        gens_e = tuple(x[: self.n_ipa_e] for x in self.ck.points)
         assert self.ipa.verify(tr, gens_e, eq_rx, inst.comm_E, sp.vE,
                                sp.ipa_E), "IPA opening of E failed"
-
-        return cp.chain.steps[-1].X[:io_arity]

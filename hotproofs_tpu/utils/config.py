@@ -27,6 +27,22 @@ class Config:
 CONFIG = Config()
 
 
+def _host_tag() -> str:
+    """Short fingerprint of this host's CPU feature set."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                feats = "unknown"
+    except OSError:
+        feats = "unknown"
+    return hashlib.sha256(feats.encode()).hexdigest()[:10]
+
+
 def setup_jax(platform: str | None = None) -> None:
     """Apply platform + persistent-compile-cache settings.
 
@@ -38,7 +54,12 @@ def setup_jax(platform: str | None = None) -> None:
     if plat:
         jax.config.update("jax_platforms", plat)
     if CONFIG.compile_cache:
-        cache = os.path.join(CONFIG.cache_dir, "xla")
+        # Host-fingerprinted cache dir: XLA:CPU AOT executables are
+        # machine-feature specific, and loading an entry compiled on a
+        # different host is not just rejected-with-a-warning — it can
+        # SIGSEGV inside cache deserialization (observed in this
+        # environment). Never share cache entries across host types.
+        cache = os.path.join(CONFIG.cache_dir, f"xla-{_host_tag()}")
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -209,3 +209,26 @@ def test_recursive_chunk_proof_single_block():
     proof.chunk_idx = 1
     with pytest.raises(AssertionError):
         prover.verify_recursive(proof)
+
+
+@pytest.mark.slow
+def test_compressed_recursive_roundtrip(tmp_path, snark):
+    """Full pipeline shape of the reference (CompressedSNARK over
+    RecursiveSNARK): witness vectors replaced by three Spartan arguments."""
+    proof = snark.prove([5], n_steps=2)
+    cp = snark.compress(proof)
+    z = snark.verify_compressed(cp)
+    assert z == _toy_host(_toy_host([5]))
+    path = str(tmp_path / "crec.json")
+    cp.save(path)
+    from hotproofs_tpu.nova.recursive import CompressedRecursiveProof
+    assert snark.verify_compressed(
+        CompressedRecursiveProof.load(path)) == z
+    bad = CompressedRecursiveProof.load(path)
+    bad.z_final = [(bad.z_final[0] + 1) % snark.q]
+    with pytest.raises(AssertionError):
+        snark.verify_compressed(bad)
+    bad2 = CompressedRecursiveProof.load(path)
+    bad2.sp1.vA = (bad2.sp1.vA + 1) % snark.q
+    with pytest.raises(AssertionError):
+        snark.verify_compressed(bad2)
