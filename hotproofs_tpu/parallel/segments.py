@@ -135,9 +135,25 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
     if len(todo) == 1:
         results = {todo[0]: prove_one(todo[0])}
     else:
-        with ThreadPoolExecutor(max_workers=max_workers or len(todo)) as ex:
-            futs = {k: ex.submit(prove_one, k) for k in todo}
-            results = {k: f.result() for k, f in futs.items()}
+        # Serial warm-up first: compiling inside the thread pool is unsafe
+        # in this jax build — the persistent compile cache's executable
+        # (de)serialization SIGSEGVs under concurrency (observed in both
+        # the read and write paths). The first segment compiles the shared
+        # programs with cache writes enabled; the threaded rest then runs
+        # with persistent-cache WRITES suppressed (in-memory jit caching
+        # is thread-safe), so any residual per-device compiles never
+        # serialize concurrently.
+        results = {todo[0]: prove_one(todo[0])}
+        key = "jax_persistent_cache_min_compile_time_secs"
+        old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+        jax.config.update(key, 1e9)
+        try:
+            with ThreadPoolExecutor(
+                    max_workers=max_workers or len(todo)) as ex:
+                futs = {k: ex.submit(prove_one, k) for k in todo[1:]}
+                results.update({k: f.result() for k, f in futs.items()})
+        finally:
+            jax.config.update(key, old_min)
 
     segments: List[Optional[IVCProof]] = [None] * len(bounds)
     for k, p in results.items():
