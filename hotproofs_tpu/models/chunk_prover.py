@@ -21,7 +21,7 @@ import sys
 import time
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -279,6 +279,35 @@ class ChunkProver:
         proof = self.ivc.prove_batch(sched.z0, canon, X_host,
                                      progress=progress, mesh=mesh)
         return sched, proof
+
+    def prove_many(self, data: bytes, chunk_idxs: Sequence[int],
+                   progress: bool = False
+                   ) -> Tuple[bytes, List[ChunkProof]]:
+        """Prove possession of SEVERAL chunks of one file in lockstep.
+
+        The production serving scenario (a storage provider answers many
+        chunk challenges at once): K independent fold chains — one per
+        chunk — advance together, with every per-fold device launch
+        vmapped over the chain axis (IVC.prove_lockstep). On a
+        launch-bound TPU this multiplies aggregate folds/s by ~K compared
+        with proving the chunks one after another, which is all the
+        reference's sequential driver can do (rust_fold/src/main.rs:166).
+        Each proof is bit-identical to a standalone `prove(data, idx)`.
+        """
+        chains, metas = [], []
+        for ci in chunk_idxs:
+            proof_data = self._hash_with_path(data, ci)
+            zs, sched, canon, X_host = self._device_witness_chain(proof_data)
+            chains.append((sched.z0, canon, X_host))
+            metas.append((proof_data, sched, ci))
+        ivc_proofs = self.ivc.prove_lockstep(chains, progress=progress)
+        proofs = []
+        for (proof_data, sched, ci), ivcp in zip(metas, ivc_proofs):
+            proofs.append(ChunkProof(
+                ivc_proof=ivcp, chunk_idx=ci, n_blocks=sched.n_blocks,
+                leaf_depth=sched.leaf_depth,
+                total_depth=proof_data.total_depth))
+        return metas[0][0].root_hash, proofs
 
     def _prove_host(self, proof_data, progress: bool):
         """Reference-style per-step host witness path (kept for

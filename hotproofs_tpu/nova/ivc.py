@@ -572,6 +572,203 @@ class IVC:
         _flush_pending()
         return self._finish_proof(z0, steps, comm_Ts, acc_dev)
 
+    # -- lockstep multi-chain fast path --------------------------------------
+    def prove_lockstep(self, chains, chunk_steps: int = 16,
+                       progress: bool = False) -> List[IVCProof]:
+        """Fold K independent chains in LOCKSTEP on one device.
+
+        chains: list of (z0, canon (N_k, n_vars, 32), X_host) triples —
+        exactly prove_batch's inputs, K times. Chains may have different
+        lengths (shorter chains fold with r=0 no-ops once finished).
+
+        Why this exists: round-1/2 TPU measurements (docs/ROADMAP.md) show
+        the per-fold cost is bound by SEQUENTIAL LAUNCH DEPTH of the comm_T
+        MSM (~1-2 ms per XLA while-loop step regardless of width), not by
+        arithmetic. vmapping the fused fold+cross-term+comm_T program over a
+        chain axis makes every sequential step K× wider at ~the same wall
+        time, so aggregate folds/s scales ~K× on one chip. This is the TPU
+        answer to the reference's strictly sequential prove loop
+        (rust_fold/src/main.rs:166-179): chains are independent (different
+        chunks, or segments of one long chain — parallel/segments.py), and
+        each keeps its own Fiat–Shamir transcript, so the K proofs are
+        BIT-IDENTICAL to K separate prove_batch runs.
+        """
+        shape, spec, curve = self.shape, self.shape.field, self.curve
+        n_io = shape.n_io
+        K = len(chains)
+        assert K >= 1
+        lens = [c[1].shape[0] for c in chains]
+        n_max = max(lens)
+        to_mont_j = F.jitted("to_mont", spec)
+
+        acc_dev = NF.AccumulatorDevice(
+            W=jnp.zeros((K, shape.n_wit, F.N_LIMBS), jnp.int32),
+            E=jnp.zeros((K, shape.n_cons, F.N_LIMBS), jnp.int32),
+            az=jnp.zeros((K, shape.n_cons, F.N_LIMBS), jnp.int32),
+            bz=jnp.zeros((K, shape.n_cons, F.N_LIMBS), jnp.int32),
+            cz=jnp.zeros((K, shape.n_cons, F.N_LIMBS), jnp.int32))
+        acc_insts = [NF.AccumulatorInstance(u=0, X=[0] * n_io)
+                     for _ in range(K)]
+        trs = [self._new_transcript(c[0]) for c in chains]
+        steps_k: List[List[StepClaim]] = [[] for _ in range(K)]
+        comm_Ts_k: List[List[Affine]] = [[] for _ in range(K)]
+
+        commitT_fn = self.ck.commit_fn(shape.n_cons, max_bits=256)
+        scaled_T = self.ck.scaled(shape.n_cons, 256)
+
+        def _fused(acc, pW2, paz, pbz, pcz, pT, r_prev, az, bz, cz, u,
+                   scaledT):
+            acc = NF.fold_witness(spec, acc, pW2, paz, pbz, pcz, pT, r_prev)
+            T = NF.cross_term(spec, acc, az, bz, cz, u)
+            comm_T = commitT_fn(F.from_mont(spec, T), scaledT)
+            return acc, T, comm_T
+
+        fused_v = self._jit(
+            ("fused_lockstep", K),
+            jax.vmap(_fused, in_axes=(0,) * 11 + (None,)))
+        foldw_v = self._jit(
+            ("foldw_lockstep", K),
+            jax.vmap(lambda acc, W2, az, bz, cz, T, r: NF.fold_witness(
+                spec, acc, W2, az, bz, cz, T, r), in_axes=(0,) * 7))
+        matvec_b = self._jit(
+            "matvec_batch", jax.vmap(lambda z: matvec_all(shape, z)))
+        if self.big_wit_idx is None:
+            one_commit = self.ck.commit_fn(shape.n_wit, max_bits=256)
+            scaled_W = self.ck.scaled(shape.n_wit, 256)
+        else:
+            big = jnp.asarray(self.big_wit_idx.astype(np.int32))
+            one_commit = self.ck.commit_split_fn(shape.n_wit,
+                                                 self.big_wit_idx)
+            scaled_W = self.ck.scaled(shape.n_wit, SMALL_BITS)
+            check_small_b = self._jit(
+                "check_small_batch",
+                lambda w: jnp.all(w.at[:, big, :].set(0)
+                                  [..., SMALL_BITS // F.LIMB_BITS:] == 0))
+        commit_b = self._jit(
+            "commitW_batch", jax.vmap(one_commit, in_axes=(0, None)))
+
+        zeros_chunk = jnp.zeros((1, shape.n_vars, F.N_LIMBS), jnp.int32)
+        zeros_r = jnp.zeros((K, F.N_LIMBS), jnp.int32)
+        zeros_W2 = jnp.zeros((K, shape.n_wit, F.N_LIMBS), jnp.int32)
+        zeros_cons = jnp.zeros((K, shape.n_cons, F.N_LIMBS), jnp.int32)
+
+        # pend: the previous launch's stacked tensors — its folds (where
+        # live) are applied on DEVICE by the next launch and on HOST while
+        # that launch runs. pend_meta[c] is None for chains that were not
+        # live at that step.
+        pend = None
+        pend_meta: List[Optional[dict]] = [None] * K
+
+        def _stack_r():
+            rows = np.zeros((K, F.N_LIMBS), np.int32)
+            for c in range(K):
+                if pend_meta[c] is not None:
+                    r = pend_meta[c]["r"]
+                    rows[c] = F.int_to_limbs(r % spec.p * spec.r_mod_p
+                                             % spec.p)
+            return jnp.asarray(rows)
+
+        def _host_fold_pending():
+            for c in range(K):
+                m = pend_meta[c]
+                if m is not None:
+                    acc_insts[c] = NF.fold_instance(
+                        spec, curve, acc_insts[c], m["X"], m["comm_W"],
+                        m["comm_T"], m["r"])
+                    pend_meta[c] = None
+
+        done = 0
+        while done < n_max:
+            take = min(chunk_steps, n_max - done)
+            # Stack chain slices -> (K, chunk, n_vars, 32), zero-padded for
+            # finished chains and for the tail of the chunk (a zero witness
+            # is harmless: its fold is masked by r=0 and its claims are
+            # never recorded).
+            rows = []
+            for c in range(K):
+                canon = jnp.asarray(chains[c][1])
+                a = min(done, lens[c])
+                b = min(done + take, lens[c])
+                part = canon[a:b]
+                n_pad = chunk_steps - (b - a)
+                if n_pad:
+                    part = jnp.concatenate(
+                        [part, jnp.broadcast_to(
+                            zeros_chunk, (n_pad,) + part.shape[1:])], axis=0)
+                rows.append(part)
+            sl = jnp.stack(rows)                    # (K, chunk, n_vars, 32)
+            flat = sl.reshape((K * chunk_steps,) + sl.shape[2:])
+            if self.big_wit_idx is not None:
+                assert bool(check_small_b(flat[:, 1 + n_io:, :])), \
+                    f"witness value >= 2^{SMALL_BITS} outside big_wit_idx"
+            z_mont = to_mont_j(flat).reshape(sl.shape)
+            az_f, bz_f, cz_f = matvec_b(z_mont.reshape(flat.shape))
+            az_b = az_f.reshape((K, chunk_steps) + az_f.shape[1:])
+            bz_b = bz_f.reshape(az_b.shape)
+            cz_b = cz_f.reshape(az_b.shape)
+            comm_W_b = commit_b(flat[:, 1 + n_io:, :], scaled_W)
+            comm_W_aff = C.pt_to_affine_host(curve, comm_W_b)
+
+            for k in range(take):
+                i = done + k
+                live = [c for c in range(K) if i < lens[c]]
+                if not live:
+                    break
+                # u after the pending fold is u + r (host scalar math).
+                u_rows = np.zeros((K, F.N_LIMBS), np.int32)
+                for c in range(K):
+                    u = acc_insts[c].u
+                    if pend_meta[c] is not None:
+                        u = (u + pend_meta[c]["r"]) % spec.p
+                    u_rows[c] = F.int_to_limbs(u * spec.r_mod_p % spec.p)
+                if pend is None:
+                    pW2, paz, pbz, pcz = (zeros_W2, zeros_cons,
+                                          zeros_cons, zeros_cons)
+                    pT, pr = zeros_cons, zeros_r
+                else:
+                    pW2, paz, pbz, pcz, pT = pend
+                    pr = _stack_r()
+                acc_dev, T, comm_T_dev = fused_v(
+                    acc_dev, pW2, paz, pbz, pcz, pT, pr,
+                    az_b[:, k], bz_b[:, k], cz_b[:, k],
+                    jnp.asarray(u_rows), scaled_T)
+                # Host work overlapping the device launch: fold the pending
+                # instances, hash this step's transcript prefixes.
+                _host_fold_pending()
+                X_i = {}
+                for c in live:
+                    X_i[c] = [v % spec.p for v in chains[c][2][i]]
+                    self._fold_challenge_prefix(
+                        trs[c], acc_insts[c], X_i[c],
+                        comm_W_aff[c * chunk_steps + k])
+                comm_T_aff = C.pt_to_affine_host(curve, comm_T_dev)  # sync
+                for c in live:
+                    comm_W = comm_W_aff[c * chunk_steps + k]
+                    trs[c].absorb_point(comm_T_aff[c])
+                    r = trs[c].challenge()
+                    pend_meta[c] = {"r": r, "X": X_i[c], "comm_W": comm_W,
+                                    "comm_T": comm_T_aff[c]}
+                    steps_k[c].append(StepClaim(X=X_i[c], comm_W=comm_W))
+                    comm_Ts_k[c].append(comm_T_aff[c])
+                pend = (z_mont[:, k, 1 + n_io:],
+                        az_b[:, k], bz_b[:, k], cz_b[:, k], T)
+            done += take
+            if progress:
+                print(f"lockstep folded {min(done, n_max)}/{n_max} steps "
+                      f"x {K} chains")
+
+        if pend is not None:
+            pW2, paz, pbz, pcz, pT = pend
+            acc_dev = foldw_v(acc_dev, pW2, paz, pbz, pcz, pT, _stack_r())
+            _host_fold_pending()
+
+        proofs = []
+        for c in range(K):
+            acc_c = jax.tree_util.tree_map(lambda x: x[c], acc_dev)
+            proofs.append(self._finish_proof(
+                chains[c][0], steps_k[c], comm_Ts_k[c], acc_c))
+        return proofs
+
     # -- verification -------------------------------------------------------
     def verify(self, proof: IVCProof, io_arity: int) -> List[int]:
         """Full verification; returns z_final on success, raises on failure.

@@ -98,6 +98,7 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
                    devices: Optional[Sequence] = None,
                    my_segments: Optional[Sequence[int]] = None,
                    max_workers: Optional[int] = None,
+                   lockstep: bool = False,
                    progress: bool = False) -> SegmentedProof:
     """Prove the chain (canon, X_host) as n_segments independent segments.
 
@@ -107,12 +108,27 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
     different chips of a mesh.  my_segments: prove only these segment
     indices (multi-host sharding — every other entry is None in
     .segments and the caller composes across hosts); default all.
+
+    lockstep=True folds all segments in lockstep on ONE device
+    (IVC.prove_lockstep): every launch carries all K segments' fused
+    fold+comm_T vmapped over the segment axis — K× aggregate folds/s on a
+    launch-bound chip, vs the thread-pool path which overlaps but still
+    serializes device launches. Proof bytes are identical either way.
     """
     import jax
 
     n_steps = canon.shape[0]
     assert len(X_host) == n_steps and len(zs) == n_steps + 1
     bounds = split_plan(n_steps, n_segments)
+    if lockstep:
+        assert my_segments is None and devices is None, \
+            "lockstep proves all segments on the local device"
+        chains = [([v for v in zs[a]], canon[a:b], X_host[a:b])
+                  for a, b in bounds]
+        chunk = min(16, max(b - a for a, b in bounds))
+        proofs = ivc.prove_lockstep(chains, chunk_steps=chunk,
+                                    progress=progress)
+        return SegmentedProof(segments=proofs)
     todo = list(range(len(bounds))) if my_segments is None \
         else sorted(set(my_segments))
     # Uniform chunk size across segments (sizes differ by <=1): every
