@@ -110,37 +110,48 @@ def main():
           f"= {wps:,.0f} wit/s = {wps * n_cons / 1e9:.2f}G constraints/s",
           file=sys.stderr)
 
-    # Lockstep multi-chunk proving: 8 chunk challenges against a 16 KiB
-    # file (8 chains x (16 blocks + tree path) folds), one chip. Warmup
-    # compiles the K=8 vmapped fused program, then one timed run.
-    K = 8
+    # Lockstep multi-chunk proving: K chunk challenges against a 16 KiB
+    # file (K chains x (16 blocks + tree path) folds), one chip. Warmup
+    # compiles the K-wide vmapped fused program, then one timed run.
+    # K falls back 8 -> 4 -> 2 if the K-wide fused comm_T MSM exceeds the
+    # chip's HBM; a total lockstep failure still reports the single-chain
+    # number (the bench must ALWAYS print its JSON line).
+    lockstep_fps, K_used, n_folds_many, t_warm_many = None, 0, 0, 0.0
     data_many = bytes(16384)
-    t0 = time.time()
-    root_m, proofs_m = prover.prove_many(data_many, list(range(K)))
-    t_warm_many = time.time() - t0
-    print(f"lockstep warmup (incl compile): {t_warm_many:.2f}s",
-          file=sys.stderr)
-    t0 = time.time()
-    root_m, proofs_m = prover.prove_many(data_many, list(range(K)))
-    dt_many = time.time() - t0
-    n_folds_many = sum(p.ivc_proof.num_steps for p in proofs_m)
-    lockstep_fps = n_folds_many / dt_many
-    print(f"lockstep: {n_folds_many} folds ({K} chains) in {dt_many:.2f}s "
-          f"= {lockstep_fps:.2f} folds/s", file=sys.stderr)
-    assert root_m == b3.hash_bytes(data_many)
-    for pm in proofs_m:
-        assert prover.verify(pm, expected_hash=root_m) == root_m
-    print("all lockstep proofs verified", file=sys.stderr)
+    for K in (8, 4, 2):
+        try:
+            t0 = time.time()
+            root_m, proofs_m = prover.prove_many(data_many, list(range(K)))
+            t_warm_many = time.time() - t0
+            print(f"lockstep K={K} warmup (incl compile): "
+                  f"{t_warm_many:.2f}s", file=sys.stderr)
+            t0 = time.time()
+            root_m, proofs_m = prover.prove_many(data_many, list(range(K)))
+            dt_many = time.time() - t0
+            n_folds_many = sum(p.ivc_proof.num_steps for p in proofs_m)
+            lockstep_fps = n_folds_many / dt_many
+            print(f"lockstep: {n_folds_many} folds ({K} chains) in "
+                  f"{dt_many:.2f}s = {lockstep_fps:.2f} folds/s",
+                  file=sys.stderr)
+            assert root_m == b3.hash_bytes(data_many)
+            for pm in proofs_m:
+                assert prover.verify(pm, expected_hash=root_m) == root_m
+            print("all lockstep proofs verified", file=sys.stderr)
+            K_used = K
+            break
+        except Exception as e:  # OOM/compile failure: shrink K
+            print(f"lockstep K={K} failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
 
+    primary = lockstep_fps if lockstep_fps is not None else folds_per_sec
     print(json.dumps({
         "metric": "nova_folds_per_sec_blake3_step",
-        "value": round(lockstep_fps, 4),
+        "value": round(primary, 4),
         "unit": "folds/s",
-        "vs_baseline": round(lockstep_fps / RUST_FOLD_BASELINE_FOLDS_PER_SEC,
-                             4),
+        "vs_baseline": round(primary / RUST_FOLD_BASELINE_FOLDS_PER_SEC, 4),
         "extra_metrics": {
             "single_chain_folds_per_sec": round(folds_per_sec, 4),
-            "lockstep_chains": K,
+            "lockstep_chains": K_used,
             "lockstep_folds": n_folds_many,
             "witnesses_per_sec_batch4096": round(wps, 1),
             "constraints_per_sec": round(wps * n_cons, 1),

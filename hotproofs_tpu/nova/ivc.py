@@ -41,6 +41,7 @@ from ..ops import curve as C
 from ..ops import field as F
 from . import fold as NF
 from . import serial
+from ..utils import telemetry as T_
 from .pedersen import SMALL_BITS, CommitmentKey
 from .r1cs import ShapeDevice, matvec_all, to_mont_vec, witness_to_device
 from .transcript import Transcript, digest_of
@@ -565,6 +566,7 @@ class IVC:
                         and i + 1 < n_steps):
                     _flush_pending()
                     _checkpoint(i + 1).save(checkpoint_path)
+            T_.count("ivc/folds", take)
             done += take
             if progress:
                 print(f"folded {done}/{n_steps} steps")
@@ -696,18 +698,32 @@ class IVC:
                         [part, jnp.broadcast_to(
                             zeros_chunk, (n_pad,) + part.shape[1:])], axis=0)
                 rows.append(part)
-            sl = jnp.stack(rows)                    # (K, chunk, n_vars, 32)
-            flat = sl.reshape((K * chunk_steps,) + sl.shape[2:])
-            if self.big_wit_idx is not None:
-                assert bool(check_small_b(flat[:, 1 + n_io:, :])), \
-                    f"witness value >= 2^{SMALL_BITS} outside big_wit_idx"
-            z_mont = to_mont_j(flat).reshape(sl.shape)
-            az_f, bz_f, cz_f = matvec_b(z_mont.reshape(flat.shape))
-            az_b = az_f.reshape((K, chunk_steps) + az_f.shape[1:])
-            bz_b = bz_f.reshape(az_b.shape)
-            cz_b = cz_f.reshape(az_b.shape)
-            comm_W_b = commit_b(flat[:, 1 + n_io:, :], scaled_W)
-            comm_W_aff = C.pt_to_affine_host(curve, comm_W_b)
+            # Batched phases run PER CHAIN at prove_batch's chunk width:
+            # the mont-mul digit convolution inside matvec materializes an
+            # (batch, nnz, 32, 32) intermediate, so a K*chunk-row flat
+            # batch scales peak HBM by K (K=8 -> 24 GB, past a v5e's 16 GB
+            # — observed AOT-compile OOM). These phases are throughput-
+            # bound, not launch-bound; only the per-step fused fold below
+            # needs the K-wide vmap.
+            zm_rows, az_rows, bz_rows, cz_rows, commW_aff = [], [], [], [], []
+            for c in range(K):
+                part = rows[c]
+                if self.big_wit_idx is not None:
+                    assert bool(check_small_b(part[:, 1 + n_io:, :])), \
+                        f"witness value >= 2^{SMALL_BITS} outside " \
+                        "big_wit_idx"
+                zm = to_mont_j(part)
+                a_c, b_c, c_c = matvec_b(zm)
+                cw = commit_b(part[:, 1 + n_io:, :], scaled_W)
+                zm_rows.append(zm)
+                az_rows.append(a_c)
+                bz_rows.append(b_c)
+                cz_rows.append(c_c)
+                commW_aff.append(C.pt_to_affine_host(curve, cw))
+            z_mont = jnp.stack(zm_rows)             # (K, chunk, n_vars, 32)
+            az_b = jnp.stack(az_rows)
+            bz_b = jnp.stack(bz_rows)
+            cz_b = jnp.stack(cz_rows)
 
             for k in range(take):
                 i = done + k
@@ -740,10 +756,10 @@ class IVC:
                     X_i[c] = [v % spec.p for v in chains[c][2][i]]
                     self._fold_challenge_prefix(
                         trs[c], acc_insts[c], X_i[c],
-                        comm_W_aff[c * chunk_steps + k])
+                        commW_aff[c][k])
                 comm_T_aff = C.pt_to_affine_host(curve, comm_T_dev)  # sync
                 for c in live:
-                    comm_W = comm_W_aff[c * chunk_steps + k]
+                    comm_W = commW_aff[c][k]
                     trs[c].absorb_point(comm_T_aff[c])
                     r = trs[c].challenge()
                     pend_meta[c] = {"r": r, "X": X_i[c], "comm_W": comm_W,
@@ -752,6 +768,9 @@ class IVC:
                     comm_Ts_k[c].append(comm_T_aff[c])
                 pend = (z_mont[:, k, 1 + n_io:],
                         az_b[:, k], bz_b[:, k], cz_b[:, k], T)
+            T_.count("ivc/folds", sum(
+                1 for c in range(K)
+                for i in range(done, done + take) if i < lens[c]))
             done += take
             if progress:
                 print(f"lockstep folded {min(done, n_max)}/{n_max} steps "

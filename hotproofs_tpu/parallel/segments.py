@@ -37,6 +37,7 @@ of a CPU/TPU mesh via `devices=`), host transcript work interleaves.
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
@@ -45,6 +46,7 @@ import numpy as np
 
 from ..nova import serial
 from ..nova.ivc import IVC, IVCProof
+from ..utils import telemetry as T
 
 
 def split_plan(n_steps: int, n_segments: int) -> List[Tuple[int, int]]:
@@ -99,6 +101,9 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
                    my_segments: Optional[Sequence[int]] = None,
                    max_workers: Optional[int] = None,
                    lockstep: bool = False,
+                   retries: int = 1,
+                   verify_each: bool = False,
+                   checkpoint_dir: Optional[str] = None,
                    progress: bool = False) -> SegmentedProof:
     """Prove the chain (canon, X_host) as n_segments independent segments.
 
@@ -114,6 +119,25 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
     fold+comm_T vmapped over the segment axis — K× aggregate folds/s on a
     launch-bound chip, vs the thread-pool path which overlaps but still
     serializes device launches. Proof bytes are identical either way.
+
+    Failure detection & elastic recovery (SURVEY.md §5 — the reference has
+    none; a crashed prove loses everything):
+      * retries: a segment whose prove RAISES (device OOM, preempted chip,
+        transient runtime fault) is retried up to `retries` extra times;
+        if `devices` were given, each retry moves to the next device in
+        the list, abandoning the suspect chip.
+      * verify_each=True re-verifies every segment proof immediately after
+        proving — an O(segment) host check that catches SILENT device
+        faults (bit flips, bad collectives) at the segment boundary
+        instead of at final verification, so only n/K steps are redone.
+        A verify failure counts as a failure and triggers the same retry.
+      * checkpoint_dir: each finished segment proof is persisted as
+        `segment_{k:05d}.json` (safe data-only serialization); a rerun of
+        the same job skips segments whose proof file already exists and
+        chains correctly — a killed multi-hour prove resumes at the cost
+        of one partial segment.  Counters land in
+        utils.telemetry.metrics ("segments/proved", "segments/retried",
+        "segments/resumed").
     """
     import jax
 
@@ -136,14 +160,74 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
     # compiling one variant per segment length.
     chunk = min(16, bounds[0][1] - bounds[0][0])
 
-    def prove_one(k: int) -> IVCProof:
+    io_arity = len(zs[0])  # state arity (X rows are [z_out || z_in])
+    fp = ivc.shape.field.p
+
+    def _ckpt_path(k: int) -> Optional[str]:
+        if checkpoint_dir is None:
+            return None
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        return os.path.join(checkpoint_dir, f"segment_{k:05d}.json")
+
+    def _try_resume(k: int) -> Optional[IVCProof]:
+        path = _ckpt_path(k)
+        if path is None or not os.path.exists(path):
+            return None
         a, b = bounds[k]
-        seg_canon = canon[a:b]
-        if devices:
-            seg_canon = jax.device_put(seg_canon,
-                                       devices[k % len(devices)])
-        p = ivc.prove_batch([v for v in zs[a]], seg_canon, X_host[a:b],
-                            chunk_steps=chunk)
+        try:
+            p = IVCProof.load(path)
+            # The file must be THIS job's segment k: right length, right
+            # boundary states. Full verify only when verify_each (resume
+            # must stay cheap for the common clean-restart case).
+            assert p.num_steps == b - a, "wrong segment length"
+            assert [v % fp for v in p.z0[:io_arity]] == \
+                [v % fp for v in zs[a][:io_arity]], "wrong z0"
+            assert [v % fp for v in p.z_final(io_arity)] == \
+                [v % fp for v in zs[b][:io_arity]], "wrong z_out"
+            if verify_each:
+                ivc.verify(p, io_arity=io_arity)
+            T.count("segments/resumed")
+            if progress:
+                print(f"segment {k}: resumed from {path}")
+            return p
+        except Exception:
+            # Stale/foreign/corrupt checkpoint: reprove it.
+            return None
+
+    def prove_one(k: int) -> IVCProof:
+        resumed = _try_resume(k)
+        if resumed is not None:
+            return resumed
+        a, b = bounds[k]
+        last_err: Optional[BaseException] = None
+        for attempt in range(retries + 1):
+            seg_canon = canon[a:b]
+            if devices:
+                # Retry on the NEXT device: abandon the suspect chip.
+                dev = devices[(k + attempt) % len(devices)]
+                seg_canon = jax.device_put(seg_canon, dev)
+            try:
+                with T.span("segments/prove_one", segment=str(k)):
+                    p = ivc.prove_batch([v for v in zs[a]], seg_canon,
+                                        X_host[a:b], chunk_steps=chunk)
+                if verify_each:
+                    ivc.verify(p, io_arity=io_arity)
+                break
+            except Exception as e:  # noqa: BLE001 — device faults vary
+                last_err = e
+                T.count("segments/retried")
+                if progress:
+                    print(f"segment {k}: attempt {attempt} failed "
+                          f"({type(e).__name__}: {e}); "
+                          f"{retries - attempt} retries left")
+        else:
+            raise RuntimeError(
+                f"segment {k} failed after {retries + 1} attempts"
+            ) from last_err
+        path = _ckpt_path(k)
+        if path is not None:
+            p.save(path)
+        T.count("segments/proved")
         if progress:
             print(f"segment {k}: steps [{a},{b}) done")
         return p
