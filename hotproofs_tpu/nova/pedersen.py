@@ -56,6 +56,7 @@ class CommitmentKey:
     def __post_init__(self):
         self._jit_cache = {}
         self._scaled = {}  # (m, windows) -> (W4, m, limbs) per coordinate
+        self._scaled_tm_cache = {}  # (m, windows) -> (px_tm, py_tm) affine
 
     def scaled(self, m: int, max_bits: int) -> C.Point:
         """Pre-scaled generators 16^w * G_j for the first m points — the
@@ -88,6 +89,67 @@ class CommitmentKey:
         z = jnp.broadcast_to(jnp.asarray(spec.base.one_mont_limbs),
                              (n, F.N_LIMBS))
         return CommitmentKey(spec, n, (x, y, z), limbs)
+
+    # -- pallas fast path ----------------------------------------------------
+    def scaled_tm(self, m: int, max_bits: int) -> Tuple[jnp.ndarray,
+                                                        jnp.ndarray]:
+        """Time-major AFFINE pre-scaled bases for the pallas MSM
+        (ops/msm_pallas.py): two (B, 32, n_lanes) Montgomery arrays, cached
+        per (m, max_bits). Device batch-inversion path on TPU; host-exact
+        path on the CPU mesh (small test keys)."""
+        from ..ops import msm_pallas as MP
+
+        key = (m, M.n_windows4(max_bits))
+        if key in self._scaled_tm_cache:
+            return self._scaled_tm_cache[key]
+        b, lpw, w4, n_lanes = MP.plan(m, max_bits)
+        if jax.default_backend() == "tpu":
+            xa, ya = MP.scaled_affine_device(
+                self.spec, self.scaled(m, max_bits), m, w4)
+        else:
+            f = self.spec.base
+            rinv = pow(f.r_mod_p, f.p - 2, f.p)
+            gens = []
+            for i in range(m):
+                x = F.limbs_to_int(self.gens_affine[i, 0]) * rinv % f.p
+                y = F.limbs_to_int(self.gens_affine[i, 1]) * rinv % f.p
+                gens.append((x, y))
+            xa, ya = MP.scaled_affine_host(self.spec, gens, w4)
+        out = (jnp.asarray(MP.to_tm(np.asarray(xa), m, b, lpw, w4, n_lanes)),
+               jnp.asarray(MP.to_tm(np.asarray(ya), m, b, lpw, w4, n_lanes)))
+        self._scaled_tm_cache[key] = out
+        return out
+
+    def commit_pallas_fn(self, m: int, max_bits: int = 256):
+        """Pure fast-path commit fn(scalars_canon, px_tm, py_tm) -> projective
+        point, for embedding in jitted programs. The base arrays are RUNTIME
+        ARGUMENTS (jit-closure constants feeding pallas inputs are ~70x
+        slower — ops/pallas_field.field_consts_dev)."""
+        from ..ops import msm_pallas as MP
+
+        return lambda s, px, py: MP.msm_pallas(self.spec, s, px, py, m,
+                                               max_bits)
+
+    def commit_split_pallas_fn(self, m: int, big_idx: np.ndarray,
+                               max_bits: int = SMALL_BITS):
+        """Split fast-path commit: small part via the pallas MSM, the few
+        full-width positions via the XLA scale-on-the-fly MSM."""
+        from ..ops import msm_pallas as MP
+
+        pts = tuple(p[:m] for p in self.points)
+        big = jnp.asarray(big_idx.astype(np.int32))
+        big_pts = tuple(p[big] for p in pts) if len(big_idx) else None
+
+        def fn(s, px, py):
+            small = s.at[big].set(0) if len(big_idx) else s
+            acc = MP.msm_pallas(self.spec, small, px, py, m, max_bits)
+            if len(big_idx):
+                acc = C.pt_add(self.spec, acc,
+                               M.msm(self.spec, s[big], big_pts,
+                                     max_bits=256))
+            return acc
+
+        return fn
 
     def commit_fn(self, m: int, max_bits: int = 256):
         """Pure commit function fn(scalars, scaled) for m scalars —
