@@ -68,6 +68,37 @@ def bench_witness_throughput(prover, n_batch=4096):
     return wps, dt
 
 
+def bench_msm(prover, reps=6):
+    """BASELINE metric: MSM points/s/chip at the comm_T shape (n_cons
+    points, full-width scalars). Distinct inputs per rep + forced host
+    readback: identical repeated dispatches through the remote relay can
+    return in ~0 ms, so same-input timing loops are meaningless."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    ivc = prover.ivc
+    m = ivc.shape.n_cons
+    fn, args = ivc._commT_setup()
+    fnj = jax.jit(fn)
+    rng = np.random.RandomState(7)
+    ins = []
+    for _ in range(reps):
+        canon = rng.randint(0, 256, size=(m, 32)).astype(np.int32)
+        canon[:, -1] = 0  # keep scalars < p (timing only, but stay exact)
+        ins.append(jnp.asarray(canon))
+    jax.block_until_ready(ins)
+    np.asarray(fnj(ins[0], *args)[0])  # compile
+    ts = []
+    for i in range(reps):
+        t0 = time.time()
+        out = fnj(ins[i], *args)
+        np.asarray(out[0])
+        ts.append(time.time() - t0)
+    dt = sorted(ts)[len(ts) // 2]
+    return m / dt
+
+
 def main():
     from hotproofs_tpu.utils.config import setup_jax
     setup_jax()  # default platform: the real TPU in this environment
@@ -110,6 +141,10 @@ def main():
           f"= {wps:,.0f} wit/s = {wps * n_cons / 1e9:.2f}G constraints/s",
           file=sys.stderr)
 
+    msm_pps = bench_msm(prover)
+    print(f"MSM (comm_T shape, full width): {msm_pps / 1e6:.2f} M points/s",
+          file=sys.stderr)
+
     # Lockstep multi-chunk proving: K chunk challenges against a 16 KiB
     # file (K chains x (16 blocks + tree path) folds), one chip. Warmup
     # compiles the K-wide vmapped fused program, then one timed run.
@@ -117,27 +152,38 @@ def main():
     # chip's HBM; a total lockstep failure still reports the single-chain
     # number (the bench must ALWAYS print its JSON line).
     lockstep_fps, K_used, n_folds_many, t_warm_many = None, 0, 0, 0.0
+    lockstep_verify_failed = False
     data_many = bytes(16384)
     for K in (8, 4, 2):
         try:
             t0 = time.time()
             root_m, proofs_m = prover.prove_many(data_many, list(range(K)))
-            t_warm_many = time.time() - t0
+            warm_try = time.time() - t0
             print(f"lockstep K={K} warmup (incl compile): "
-                  f"{t_warm_many:.2f}s", file=sys.stderr)
+                  f"{warm_try:.2f}s", file=sys.stderr)
             t0 = time.time()
             root_m, proofs_m = prover.prove_many(data_many, list(range(K)))
             dt_many = time.time() - t0
-            n_folds_many = sum(p.ivc_proof.num_steps for p in proofs_m)
-            lockstep_fps = n_folds_many / dt_many
-            print(f"lockstep: {n_folds_many} folds ({K} chains) in "
-                  f"{dt_many:.2f}s = {lockstep_fps:.2f} folds/s",
+            folds_try = sum(p.ivc_proof.num_steps for p in proofs_m)
+            print(f"lockstep: {folds_try} folds ({K} chains) in "
+                  f"{dt_many:.2f}s = {folds_try / dt_many:.2f} folds/s",
                   file=sys.stderr)
-            assert root_m == b3.hash_bytes(data_many)
-            for pm in proofs_m:
-                assert prover.verify(pm, expected_hash=root_m) == root_m
+            # Verify BEFORE recording any throughput: an unverified number
+            # must never become the primary metric.
+            try:
+                assert root_m == b3.hash_bytes(data_many)
+                for pm in proofs_m:
+                    assert prover.verify(pm, expected_hash=root_m) == root_m
+            except AssertionError as e:
+                # A verification failure is a CORRECTNESS regression, not a
+                # resource limit — flag it and stop (shrinking K would hide
+                # it behind a smaller, equally wrong configuration).
+                lockstep_verify_failed = True
+                print(f"lockstep K={K} VERIFY FAILED: {e}", file=sys.stderr)
+                break
             print("all lockstep proofs verified", file=sys.stderr)
-            K_used = K
+            lockstep_fps = folds_try / dt_many
+            n_folds_many, t_warm_many, K_used = folds_try, warm_try, K
             break
         except Exception as e:  # OOM/compile failure: shrink K
             print(f"lockstep K={K} failed: {type(e).__name__}: "
@@ -153,6 +199,8 @@ def main():
             "single_chain_folds_per_sec": round(folds_per_sec, 4),
             "lockstep_chains": K_used,
             "lockstep_folds": n_folds_many,
+            "lockstep_verify_failed": lockstep_verify_failed,
+            "msm_points_per_sec": round(msm_pps, 1),
             "witnesses_per_sec_batch4096": round(wps, 1),
             "constraints_per_sec": round(wps * n_cons, 1),
             "warmup_s": round(t_warm, 2),

@@ -198,6 +198,51 @@ class RecursiveChunkProof:
             total_depth=int(d["total_depth"]))
 
 
+def check_statement(modulus: int, z0, num_steps, chunk_idx, n_blocks,
+                    leaf_depth, total_depth) -> None:
+    """Statement checks mirroring z0 construction (main.rs:130-145): z0
+    must encode (IV, depth = leaf_depth-1, block_count=0, the claimed
+    chunk_idx); the step count must match the schedule. Module-level so a
+    vk-only verifier (nova/vk.py) can run them without a prover stack."""
+    expected_z0 = ([n_blocks, 0] + list(b3.IV)
+                   + [total_depth, leaf_depth - 1,
+                      chunk_idx & 0xFFFFFFFF,
+                      chunk_idx >> 32, leaf_depth])
+    assert [v % modulus for v in z0] == \
+        [v % modulus for v in expected_z0], "z0 mismatch"
+    assert num_steps == n_blocks + leaf_depth - 1, "step count"
+
+
+def check_final(z_final, n_blocks,
+                expected_hash: Optional[bytes]) -> bytes:
+    """Final-state extraction (main.rs:195-201): all blocks consumed, root
+    reached (depth 0); hash = z[2:10] as LE words."""
+    assert z_final[0] == n_blocks
+    assert z_final[1] == n_blocks, "not all blocks absorbed"
+    assert z_final[11] == 0, "did not reach the root"
+    root = b"".join(int(w).to_bytes(4, "little") for w in z_final[2:10])
+    if expected_hash is not None:
+        assert root == expected_hash, "root hash mismatch"
+    return root
+
+
+def verify_with_vk(vk_path: str, proof: "ChunkProof",
+                   expected_hash: Optional[bytes] = None) -> bytes:
+    """Verify a chunk proof from an exported vk document alone — the
+    prover stack (circuit DSL, witness machinery) is never constructed.
+    Reference parity: an external verifier consuming vk_zm.json +
+    proof.json (main.rs:334-346)."""
+    from ..nova.vk import ivc_from_vk
+
+    ivc = ivc_from_vk(vk_path)
+    check_statement(
+        ivc.shape.field.p, proof.ivc_proof.z0, proof.ivc_proof.num_steps,
+        proof.chunk_idx, proof.n_blocks, proof.leaf_depth,
+        proof.total_depth)
+    z_final = ivc.verify(proof.ivc_proof, io_arity=IO_ARITY)
+    return check_final(z_final, proof.n_blocks, expected_hash)
+
+
 class ChunkProver:
     """prove/verify pair for BLAKE3 chunk possession (Pasta by default)."""
 
@@ -328,28 +373,21 @@ class ChunkProver:
     # ------------------------------------------------------------------
     def _check_statement(self, z0, num_steps, chunk_idx, n_blocks,
                          leaf_depth, total_depth) -> None:
-        """Statement checks mirroring z0 construction (main.rs:130-145):
-        z0 must encode (IV, depth = leaf_depth-1, block_count=0, the
-        claimed chunk_idx); the step count must match the schedule."""
-        expected_z0 = ([n_blocks, 0] + list(b3.IV)
-                       + [total_depth, leaf_depth - 1,
-                          chunk_idx & 0xFFFFFFFF,
-                          chunk_idx >> 32, leaf_depth])
-        assert [v % self.modulus for v in z0] == \
-            [v % self.modulus for v in expected_z0], "z0 mismatch"
-        assert num_steps == n_blocks + leaf_depth - 1, "step count"
+        check_statement(self.modulus, z0, num_steps, chunk_idx, n_blocks,
+                        leaf_depth, total_depth)
 
     def _check_final(self, z_final, n_blocks,
                      expected_hash: Optional[bytes]) -> bytes:
-        """Final-state extraction (main.rs:195-201): all blocks consumed,
-        root reached (depth 0); hash = z[2:10] as LE words."""
-        assert z_final[0] == n_blocks
-        assert z_final[1] == n_blocks, "not all blocks absorbed"
-        assert z_final[11] == 0, "did not reach the root"
-        root = b"".join(int(w).to_bytes(4, "little") for w in z_final[2:10])
-        if expected_hash is not None:
-            assert root == expected_hash, "root hash mismatch"
-        return root
+        return check_final(z_final, n_blocks, expected_hash)
+
+    def export_vk(self, path: str) -> None:
+        """Write the standalone verification key (nova/vk.py); any party
+        can then verify chunk proofs via `verify_with_vk` / the CLI
+        `verify --vk` without this prover stack."""
+        from ..nova.vk import export_vk as _export
+
+        _export(self.ivc, path, statement="blake3-chunk",
+                io_arity=IO_ARITY)
 
     def verify(self, proof: ChunkProof,
                expected_hash: Optional[bytes] = None) -> bytes:
@@ -482,11 +520,31 @@ def main(argv=None):
     p2 = sub.add_parser("verify")
     p2.add_argument("--proof", required=True)
     p2.add_argument("--expect-hash", default=None)
+    p2.add_argument("--vk", default=None,
+                    help="verify from an exported vk.json (the prover "
+                         "stack is never constructed)")
     p2.add_argument("--platform", default=None)
+    p3 = sub.add_parser("export-vk")
+    p3.add_argument("--out", default="vk.json")
+    p3.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
     from ..utils.config import setup_jax
     setup_jax(platform=args.platform)
+
+    if args.cmd == "export-vk":
+        ChunkProver().export_vk(args.out)
+        print(f"verification key written to {args.out}")
+        return
+
+    if args.cmd == "verify" and args.vk:
+        expect = bytes.fromhex(args.expect_hash) if args.expect_hash else None
+        t0 = time.time()
+        proof = ChunkProof.load(args.proof)
+        root = verify_with_vk(args.vk, proof, expect)
+        print(f"VERIFIED (vk-only) root hash: {root.hex()}  "
+              f"({time.time() - t0:.2f}s, {proof.ivc_proof.num_steps} steps)")
+        return
 
     if args.cmd == "prove":
         with open(args.file, "rb") as f:

@@ -42,6 +42,7 @@ from ..ops import field as F
 from . import fold as NF
 from . import serial
 from ..utils import telemetry as T_
+from ..utils.config import pallas_msm_enabled
 from .pedersen import SMALL_BITS, CommitmentKey
 from .r1cs import ShapeDevice, matvec_all, to_mont_vec, witness_to_device
 from .transcript import Transcript, digest_of
@@ -243,6 +244,44 @@ class IVC:
         tr.absorb_point(comm_T)
         return tr.challenge()
 
+    # -- commit-path selection (pallas fused MSM on TPU, XLA elsewhere) ------
+    def _commT_setup(self):
+        """(fn, args) with fn(t_canon, *args) -> projective comm_T point.
+        args are DEVICE OPERANDS (pre-scaled bases), threaded as runtime
+        arguments so they are never baked into jitted programs."""
+        n = self.shape.n_cons
+        if pallas_msm_enabled():
+            return self.ck.commit_pallas_fn(n, 256), self.ck.scaled_tm(n, 256)
+        return self.ck.commit_fn(n, max_bits=256), (self.ck.scaled(n, 256),)
+
+    def _commW_setup_xla(self):
+        """(fn, args) for per-step witness commits on the XLA path
+        (small-scalar split when big_wit_idx is set)."""
+        n = self.shape.n_wit
+        if self.big_wit_idx is None:
+            return (self.ck.commit_fn(n, max_bits=256),
+                    (self.ck.scaled(n, 256),))
+        return (self.ck.commit_split_fn(n, self.big_wit_idx),
+                (self.ck.scaled(n, SMALL_BITS),))
+
+    def _commit_T_pl(self, t_canon) -> C.Point:
+        """Cross-term commit via the standalone pallas MSM program (shared
+        across the whole process — embedding it into fused programs would
+        cost another multi-minute TPU compile per embedding)."""
+        return self.ck.commit_pallas(t_canon, 256)
+
+    def _commit_W_steps_pl(self, w_batch) -> C.Point:
+        """Per-step W commits of a (chunk, n_wit, 32) canonical batch via
+        the standalone pallas program; returns stacked projective
+        (chunk, 32) x3. Dispatches are async — the device pipelines them."""
+        if self.big_wit_idx is None:
+            outs = [self.ck.commit_pallas(w_batch[k], 256)
+                    for k in range(w_batch.shape[0])]
+        else:
+            outs = [self.ck.commit_split_pallas(w_batch[k], self.big_wit_idx)
+                    for k in range(w_batch.shape[0])]
+        return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
+
     def _finish_proof(self, z0, steps, comm_Ts, acc_dev) -> IVCProof:
         spec = self.shape.field
         from_mont_j = F.jitted("from_mont", spec)
@@ -382,37 +421,53 @@ class IVC:
         # runs, the host folds the previous instance (EC scalar mults) and
         # hashes this step's transcript prefix — per-launch latency and
         # host work hide behind the MSM instead of serializing with it.
-        commitT_fn = self.ck.commit_fn(shape.n_cons, max_bits=256)
-        scaled_T = self.ck.scaled(shape.n_cons, 256)
+        use_pl = pallas_msm_enabled()
+        if mesh is not None:
+            assert not use_pl, \
+                "mesh-sharded proving uses the XLA MSM path " \
+                "(set HOTPROOFS_PALLAS_MSM=0)"
+        if use_pl:
+            # Pallas path: the fused program folds + computes the cross
+            # term; the commit dispatches the SHARED standalone MSM program
+            # (embedding it here would cost another multi-minute compile).
+            def _fused(acc, pW2, paz, pbz, pcz, pT, r_prev, az, bz, cz, u):
+                acc = NF.fold_witness(spec, acc, pW2, paz, pbz, pcz, pT,
+                                      r_prev)
+                T = NF.cross_term(spec, acc, az, bz, cz, u)
+                return acc, T, F.from_mont(spec, T)
 
-        def _fused(acc, pW2, paz, pbz, pcz, pT, r_prev, az, bz, cz, u,
-                   scaledT):
-            acc = NF.fold_witness(spec, acc, pW2, paz, pbz, pcz, pT, r_prev)
-            T = NF.cross_term(spec, acc, az, bz, cz, u)
-            comm_T = commitT_fn(F.from_mont(spec, T), scaledT)
-            return acc, T, comm_T
+            fused_j = self._jit("fused_fold_step_pl", _fused)
+            commT_args = ()
+        else:
+            commitT_fn, commT_args = self._commT_setup()
 
-        fused_j = self._jit("fused_fold_step", _fused)
+            def _fused(acc, pW2, paz, pbz, pcz, pT, r_prev, az, bz, cz, u,
+                       *cargs):
+                acc = NF.fold_witness(spec, acc, pW2, paz, pbz, pcz, pT,
+                                      r_prev)
+                T = NF.cross_term(spec, acc, az, bz, cz, u)
+                comm_T = commitT_fn(F.from_mont(spec, T), *cargs)
+                return acc, T, comm_T
+
+            fused_j = self._jit("fused_fold_step", _fused)
         matvec_b = self._jit(
             "matvec_batch", jax.vmap(lambda z: matvec_all(shape, z)))
-        if self.big_wit_idx is None:
-            one_commit = self.ck.commit_fn(shape.n_wit, max_bits=256)
-            scaled_W = self.ck.scaled(shape.n_wit, 256)
-        else:
+        if self.big_wit_idx is not None:
             big = jnp.asarray(self.big_wit_idx.astype(np.int32))
-            one_commit = self.ck.commit_split_fn(shape.n_wit,
-                                                 self.big_wit_idx)
-            scaled_W = self.ck.scaled(shape.n_wit, SMALL_BITS)
             check_small_b = self._jit(
                 "check_small_batch",
                 lambda w: jnp.all(w.at[:, big, :].set(0)
                                   [..., SMALL_BITS // F.LIMB_BITS:] == 0))
         commT_j = None
-        if mesh is None:
+        if use_pl:
+            commit_b = None
+        elif mesh is None:
+            commW_fn, commW_args = self._commW_setup_xla()
             commit_b = self._jit(
-                "commitW_batch",
-                jax.vmap(one_commit, in_axes=(0, None)))
+                "commitW_batch", jax.vmap(commW_fn, in_axes=(0, None)))
         else:
+            commW_fn, commW_args = self._commW_setup_xla()
+            one_commit, (scaled_W,) = commW_fn, commW_args
             from jax.sharding import PartitionSpec as P
             from jax.experimental.shard_map import shard_map
             from ..parallel.msm_sharded import msm_sharded
@@ -504,7 +559,10 @@ class IVC:
                     "(would truncate in the small-MSM fast path)"
             z_mont = to_mont_j(sl)
             az_b, bz_b, cz_b = matvec_b(z_mont)
-            comm_W_b = commit_b(sl[:, 1 + n_io:, :], scaled_W)
+            if use_pl:
+                comm_W_b = self._commit_W_steps_pl(sl[:, 1 + n_io:, :])
+            else:
+                comm_W_b = commit_b(sl[:, 1 + n_io:, :], *commW_args)
             comm_W_aff = C.pt_to_affine_host(curve, comm_W_b)
 
             for k in range(take):
@@ -533,9 +591,10 @@ class IVC:
                         pW2, paz, pbz, pcz = (pend["W2"], pend["az"],
                                               pend["bz"], pend["cz"])
                         pT, pr = pend["T"], pend["r_mont"]
-                    acc_dev, T, comm_T_dev = fused_j(
+                    acc_dev, T, last = fused_j(
                         acc_dev, pW2, paz, pbz, pcz, pT, pr,
-                        az, bz, cz, self._scalar_mont(u_next), scaled_T)
+                        az, bz, cz, self._scalar_mont(u_next), *commT_args)
+                    comm_T_dev = self._commit_T_pl(last) if use_pl else last
                     if pend is not None:  # host EC fold overlaps the MSM
                         acc_inst = NF.fold_instance(
                             spec, curve, acc_inst, pend["X"],
@@ -615,39 +674,54 @@ class IVC:
         steps_k: List[List[StepClaim]] = [[] for _ in range(K)]
         comm_Ts_k: List[List[Affine]] = [[] for _ in range(K)]
 
-        commitT_fn = self.ck.commit_fn(shape.n_cons, max_bits=256)
-        scaled_T = self.ck.scaled(shape.n_cons, 256)
+        use_pl = pallas_msm_enabled()
+        if use_pl:
+            # Pallas path: the K-wide vmap covers only the fold+cross-term
+            # (pure elementwise XLA); the K comm_T MSMs dispatch the SHARED
+            # standalone pallas program per chain (compute-bound, so a
+            # K-wide kernel would not be faster, and embedding it would
+            # cost another multi-minute compile + K x HBM accumulators —
+            # the round-2 RESOURCE_EXHAUSTED).
+            def _fused(acc, pW2, paz, pbz, pcz, pT, r_prev, az, bz, cz, u):
+                acc = NF.fold_witness(spec, acc, pW2, paz, pbz, pcz, pT,
+                                      r_prev)
+                T = NF.cross_term(spec, acc, az, bz, cz, u)
+                return acc, T, F.from_mont(spec, T)
 
-        def _fused(acc, pW2, paz, pbz, pcz, pT, r_prev, az, bz, cz, u,
-                   scaledT):
-            acc = NF.fold_witness(spec, acc, pW2, paz, pbz, pcz, pT, r_prev)
-            T = NF.cross_term(spec, acc, az, bz, cz, u)
-            comm_T = commitT_fn(F.from_mont(spec, T), scaledT)
-            return acc, T, comm_T
+            fused_v = self._jit(("fused_lockstep_pl", K),
+                                jax.vmap(_fused, in_axes=(0,) * 11))
+            commT_args = ()
+        else:
+            commitT_fn, commT_args = self._commT_setup()
 
-        fused_v = self._jit(
-            ("fused_lockstep", K),
-            jax.vmap(_fused, in_axes=(0,) * 11 + (None,)))
+            def _fused(acc, pW2, paz, pbz, pcz, pT, r_prev, az, bz, cz, u,
+                       *cargs):
+                acc = NF.fold_witness(spec, acc, pW2, paz, pbz, pcz, pT,
+                                      r_prev)
+                T = NF.cross_term(spec, acc, az, bz, cz, u)
+                comm_T = commitT_fn(F.from_mont(spec, T), *cargs)
+                return acc, T, comm_T
+
+            fused_v = self._jit(
+                ("fused_lockstep", K),
+                jax.vmap(_fused,
+                         in_axes=(0,) * 11 + (None,) * len(commT_args)))
         foldw_v = self._jit(
             ("foldw_lockstep", K),
             jax.vmap(lambda acc, W2, az, bz, cz, T, r: NF.fold_witness(
                 spec, acc, W2, az, bz, cz, T, r), in_axes=(0,) * 7))
         matvec_b = self._jit(
             "matvec_batch", jax.vmap(lambda z: matvec_all(shape, z)))
-        if self.big_wit_idx is None:
-            one_commit = self.ck.commit_fn(shape.n_wit, max_bits=256)
-            scaled_W = self.ck.scaled(shape.n_wit, 256)
-        else:
+        if self.big_wit_idx is not None:
             big = jnp.asarray(self.big_wit_idx.astype(np.int32))
-            one_commit = self.ck.commit_split_fn(shape.n_wit,
-                                                 self.big_wit_idx)
-            scaled_W = self.ck.scaled(shape.n_wit, SMALL_BITS)
             check_small_b = self._jit(
                 "check_small_batch",
                 lambda w: jnp.all(w.at[:, big, :].set(0)
                                   [..., SMALL_BITS // F.LIMB_BITS:] == 0))
-        commit_b = self._jit(
-            "commitW_batch", jax.vmap(one_commit, in_axes=(0, None)))
+        if not use_pl:
+            commW_fn, commW_args = self._commW_setup_xla()
+            commit_b = self._jit(
+                "commitW_batch", jax.vmap(commW_fn, in_axes=(0, None)))
 
         zeros_chunk = jnp.zeros((1, shape.n_vars, F.N_LIMBS), jnp.int32)
         zeros_r = jnp.zeros((K, F.N_LIMBS), jnp.int32)
@@ -705,7 +779,7 @@ class IVC:
             # — observed AOT-compile OOM). These phases are throughput-
             # bound, not launch-bound; only the per-step fused fold below
             # needs the K-wide vmap.
-            zm_rows, az_rows, bz_rows, cz_rows, commW_aff = [], [], [], [], []
+            zm_rows, az_rows, bz_rows, cz_rows, cw_rows = [], [], [], [], []
             for c in range(K):
                 part = rows[c]
                 if self.big_wit_idx is not None:
@@ -714,16 +788,26 @@ class IVC:
                         "big_wit_idx"
                 zm = to_mont_j(part)
                 a_c, b_c, c_c = matvec_b(zm)
-                cw = commit_b(part[:, 1 + n_io:, :], scaled_W)
+                if use_pl:
+                    cw = self._commit_W_steps_pl(part[:, 1 + n_io:, :])
+                else:
+                    cw = commit_b(part[:, 1 + n_io:, :], *commW_args)
                 zm_rows.append(zm)
                 az_rows.append(a_c)
                 bz_rows.append(b_c)
                 cz_rows.append(c_c)
-                commW_aff.append(C.pt_to_affine_host(curve, cw))
+                cw_rows.append(cw)
             z_mont = jnp.stack(zm_rows)             # (K, chunk, n_vars, 32)
             az_b = jnp.stack(az_rows)
             bz_b = jnp.stack(bz_rows)
             cz_b = jnp.stack(cz_rows)
+            # ONE blocking affine conversion for all K chains' W commits
+            # (per-chain conversion = K host syncs per chunk).
+            cw_flat = tuple(jnp.concatenate([r[i] for r in cw_rows])
+                            for i in range(3))
+            aff_flat = C.pt_to_affine_host(curve, cw_flat)
+            commW_aff = [aff_flat[c * chunk_steps: (c + 1) * chunk_steps]
+                         for c in range(K)]
 
             for k in range(take):
                 i = done + k
@@ -744,10 +828,16 @@ class IVC:
                 else:
                     pW2, paz, pbz, pcz, pT = pend
                     pr = _stack_r()
-                acc_dev, T, comm_T_dev = fused_v(
+                acc_dev, T, last = fused_v(
                     acc_dev, pW2, paz, pbz, pcz, pT, pr,
                     az_b[:, k], bz_b[:, k], cz_b[:, k],
-                    jnp.asarray(u_rows), scaled_T)
+                    jnp.asarray(u_rows), *commT_args)
+                if use_pl:
+                    outs = [self._commit_T_pl(last[c]) for c in range(K)]
+                    comm_T_dev = tuple(jnp.stack([o[i] for o in outs])
+                                       for i in range(3))
+                else:
+                    comm_T_dev = last
                 # Host work overlapping the device launch: fold the pending
                 # instances, hash this step's transcript prefixes.
                 _host_fold_pending()

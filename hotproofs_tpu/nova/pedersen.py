@@ -52,6 +52,7 @@ class CommitmentKey:
     n: int
     points: C.Point          # stacked, Montgomery projective (n, 32) x3
     gens_affine: np.ndarray  # (n, 2, 32) Montgomery affine limbs
+    label: bytes = b""
 
     def __post_init__(self):
         self._jit_cache = {}
@@ -88,7 +89,7 @@ class CommitmentKey:
         y = jnp.asarray(limbs[:, 1])
         z = jnp.broadcast_to(jnp.asarray(spec.base.one_mont_limbs),
                              (n, F.N_LIMBS))
-        return CommitmentKey(spec, n, (x, y, z), limbs)
+        return CommitmentKey(spec, n, (x, y, z), limbs, label)
 
     # -- pallas fast path ----------------------------------------------------
     def scaled_tm(self, m: int, max_bits: int) -> Tuple[jnp.ndarray,
@@ -103,6 +104,14 @@ class CommitmentKey:
         if key in self._scaled_tm_cache:
             return self._scaled_tm_cache[key]
         b, lpw, w4, n_lanes = MP.plan(m, max_bits)
+        disk = os.path.join(
+            _CACHE_DIR, f"scaledtm_{self.spec.name}_"
+            f"{self.label.decode()}_{m}_{w4}_{b}.npy") if self.label else None
+        if disk and os.path.exists(disk):
+            arr = np.load(disk)
+            out = (jnp.asarray(arr[0]), jnp.asarray(arr[1]))
+            self._scaled_tm_cache[key] = out
+            return out
         if jax.default_backend() == "tpu":
             xa, ya = MP.scaled_affine_device(
                 self.spec, self.scaled(m, max_bits), m, w4)
@@ -117,6 +126,8 @@ class CommitmentKey:
             xa, ya = MP.scaled_affine_host(self.spec, gens, w4)
         out = (jnp.asarray(MP.to_tm(np.asarray(xa), m, b, lpw, w4, n_lanes)),
                jnp.asarray(MP.to_tm(np.asarray(ya), m, b, lpw, w4, n_lanes)))
+        if disk:
+            np.save(disk, np.stack([np.asarray(out[0]), np.asarray(out[1])]))
         self._scaled_tm_cache[key] = out
         return out
 
@@ -150,6 +161,34 @@ class CommitmentKey:
             return acc
 
         return fn
+
+    def commit_pallas(self, scalars_canon: jnp.ndarray,
+                      max_bits: int = 256) -> C.Point:
+        """Standalone-dispatch pallas commit, jit-cached per (m, max_bits).
+
+        The TPU compile relay in this environment caches NOTHING across
+        processes and each pallas-MSM compile costs minutes, so the prover
+        reuses ONE standalone program per shape everywhere (fold loop, W
+        commits, verify) instead of embedding the MSM into larger fused
+        programs (each embedding = another full compile)."""
+        m = scalars_canon.shape[0]
+        key = ("pallas", m, max_bits)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self.commit_pallas_fn(m, max_bits))
+        px, py = self.scaled_tm(m, max_bits)
+        return self._jit_cache[key](scalars_canon, px, py)
+
+    def commit_split_pallas(self, scalars_canon: jnp.ndarray,
+                            big_idx: np.ndarray) -> C.Point:
+        """Standalone-dispatch split commit (pallas small part + XLA
+        full-width part for the few big positions), jit-cached per shape."""
+        m = scalars_canon.shape[0]
+        key = ("pallas_split", m, len(big_idx))
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                self.commit_split_pallas_fn(m, big_idx))
+        px, py = self.scaled_tm(m, SMALL_BITS)
+        return self._jit_cache[key](scalars_canon, px, py)
 
     def commit_fn(self, m: int, max_bits: int = 256):
         """Pure commit function fn(scalars, scaled) for m scalars —

@@ -56,6 +56,14 @@ class Transcript:
         return self.sponge.squeeze()
 
 
+def transcript_poseidon_params(field_name: str) -> Tuple[int, int, int]:
+    """(t, R_F, R_P) of the transcript's Poseidon instance — part of the
+    exported verification key (nova/vk.py) so a foreign verifier knows the
+    exact Fiat-Shamir sponge."""
+    spec = P.make_spec(field_name)
+    return spec.t, spec.r_full, spec.r_partial
+
+
 def digest_of(*parts: bytes) -> int:
     h = hashlib.sha256()
     for p in parts:

@@ -58,18 +58,64 @@ BC = 8         # points per lane per grid step
 # ---------------------------------------------------------------------------
 
 
+_INV_CACHE = {}
+
+
+def _inv_kernel(c_ref, bits_ref, z_ref, o_ref):
+    """Fermat inversion, fully in-kernel: fori over the 255 exponent bits
+    (bit array in SMEM), two VMEM mont_muls per bit. One kernel launch for
+    the whole batch instead of a 510-launch XLA scan (which took ~17 min to
+    compile through the remote relay)."""
+    c = c_ref[:]
+    z = z_ref[:]
+    one_col = c[:L, 2:3]                    # one_mont column
+    acc0 = jnp.broadcast_to(one_col, z.shape)
+
+    def body(i, acc):
+        acc = PF.mont_mul_rows(c[:, :2], acc, acc)
+        withz = PF.mont_mul_rows(c[:, :2], acc, z)
+        bit = bits_ref[0, i]
+        return jnp.where(bit > 0, withz, acc)
+
+    acc = jax.lax.fori_loop(0, bits_ref.shape[1], body, acc0)
+    is_zero = jnp.all(z == 0, axis=0, keepdims=True)
+    o_ref[:] = jnp.where(is_zero, jnp.zeros_like(acc), acc)
+
+
 def batch_inv_mont_lm(spec: F.FieldSpec, z_lm: jnp.ndarray) -> jnp.ndarray:
     """Batched Fermat inversion of Montgomery-form limb-major (32, N) tiles
-    using the pallas mul engine (0 -> 0). One-time key-prep cost."""
-    bits = spec.exp_p_minus_2_bits[::-1]  # MSB first
-    acc = jnp.broadcast_to(jnp.asarray(spec.one_mont_limbs)[:, None],
-                           z_lm.shape)
-    for bit in bits:  # unrolled on host; each step is 1-2 pallas kernels
-        acc = PF.mont_mul_lm(spec, acc, acc)
-        if bit:
-            acc = PF.mont_mul_lm(spec, acc, z_lm)
-    is_zero = jnp.all(z_lm == 0, axis=0, keepdims=True)
-    return jnp.where(is_zero, jnp.zeros_like(acc), acc)
+    on the pallas engine (0 -> 0). One-time key-prep cost."""
+    n = z_lm.shape[1]
+    key = (spec.name, n)
+    if key not in _INV_CACHE:
+        nbits = len(spec.exp_p_minus_2_bits)
+        fn = pl.pallas_call(
+            _inv_kernel,
+            out_shape=jax.ShapeDtypeStruct((L, n), jnp.int32),
+            grid=(n // PF.N_LANES,),
+            in_specs=[
+                pl.BlockSpec((L + 1, 4), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nbits), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((L, PF.N_LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((L, PF.N_LANES), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=PF.interpret(),
+        )
+        cpack = np.zeros((L + 1, 4), np.int32)
+        cpack[:, :2] = PF.field_consts(spec)
+        cpack[:L, 2] = spec.one_mont_limbs
+        bits = np.ascontiguousarray(
+            np.asarray(spec.exp_p_minus_2_bits,
+                       np.int32)[::-1][None])  # MSB first, (1, nbits)
+        # Cache HOST arrays only (a jnp value cached from inside a trace
+        # would leak a tracer into later traces).
+        _INV_CACHE[key] = (jax.jit(fn), cpack, bits)
+    fn, cpack, bits = _INV_CACHE[key]
+    return fn(jnp.asarray(cpack), jnp.asarray(bits), z_lm)
 
 
 def plan(m: int, max_bits: int) -> Tuple[int, int, int, int]:
@@ -158,11 +204,15 @@ def digits_tm(scalars_canon: jnp.ndarray, m: int, b: int, lpw: int,
 def _bucket_kernel(cc_ref, d_ref, px_ref, py_ref, out_ref):
     cc = cc_ref[:]
     t_chunk = pl.program_id(1)
+    # Precompute the identity-Y fill OUTSIDE the when-branch: integer
+    # indexing of a value inside a Mosaic cond branch lowers to an
+    # unsupported gather.
+    y_fill = jnp.broadcast_to(cc[:L, 3:4][None], (NSLOT, L, LB))
 
     @pl.when(t_chunk == 0)
     def _():
         out_ref[0] = jnp.zeros((NSLOT, L, LB), jnp.int32)
-        out_ref[1] = jnp.broadcast_to(cc[3, :L, None], (NSLOT, L, LB))
+        out_ref[1] = y_fill
         out_ref[2] = jnp.zeros((NSLOT, L, LB), jnp.int32)
 
     def body(tt, _):
@@ -197,7 +247,7 @@ def _bucket_call(n_lanes: int, b: int):
         out_shape=jax.ShapeDtypeStruct((3, NSLOT, L, n_lanes), jnp.int32),
         grid=(n_lanes // LB, b // bc),
         in_specs=[
-            pl.BlockSpec((4, L + 1), lambda g, t: (0, 0),
+            pl.BlockSpec((L + 1, 4), lambda g, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bc, LB), lambda g, t: (t, g),
                          memory_space=pltpu.VMEM),
@@ -218,6 +268,11 @@ def _bucket_call(n_lanes: int, b: int):
 
 
 def _merge_kernel(cc_ref, bk_ref, out_ref):
+    """Reduce one bucket slot's lane axis all the way to a single point
+    (broadcast across the 128-lane output tile). The full halving tree runs
+    in-kernel: doing the tail reduction in XLA costs ~37 sequential
+    tiny-width point adds (~40 ms of in-graph overhead per MSM — measured
+    dominant over the bucket kernel itself)."""
     cc = cc_ref[:]
     n_lanes = bk_ref.shape[3]
     n_chunks = n_lanes // LB
@@ -231,11 +286,32 @@ def _merge_kernel(cc_ref, bk_ref, out_ref):
     acc = PC.identity_rows(cc, LB)
     acc = jax.lax.fori_loop(0, n_chunks, body, acc)
     w = LB
-    while w > 128:   # halving tree down to one 128-wide tile
+    while w > 128:   # halving tree by lane slices down to one 128-tile
         h = w // 2
         acc = PC.pt_add_rows(cc, tuple(a[:, :h] for a in acc),
                              tuple(a[:, h:w] for a in acc))
         w = h
+    # Below 128 lanes, slice-halving hits a Mosaic layout bug (sub-tile
+    # lane offsets in concatenate); reduce by circular lane ROTATION on
+    # full-width tiles instead — field ops are lane-independent, so after
+    # log2(128) roll-adds EVERY lane holds the total.
+    if PF.interpret():
+        # Compile-light variant for the CPU test mesh: the unrolled adds
+        # blow up XLA:CPU compile (each pt_add is ~3k primitives); a fori
+        # with a dynamic shift keeps one body. TPU keeps the unroll
+        # (Mosaic compiles it once; dynamic rotate amounts are riskier).
+        def roll_body(i, a):
+            h = 64 >> i
+            rot = tuple(jnp.roll(x, h, 1) for x in a)
+            return PC.pt_add_rows(cc, a, rot)
+
+        acc = jax.lax.fori_loop(0, 7, roll_body, acc)
+    else:
+        h = 64
+        while h >= 1:
+            rot = tuple(pltpu.roll(a, h, 1) for a in acc)
+            acc = PC.pt_add_rows(cc, acc, rot)
+            h //= 2
     out_ref[0, 0] = acc[0]
     out_ref[1, 0] = acc[1]
     out_ref[2, 0] = acc[2]
@@ -247,7 +323,7 @@ def _merge_call(n_lanes: int):
         out_shape=jax.ShapeDtypeStruct((3, NSLOT, L, 128), jnp.int32),
         grid=(NSLOT,),
         in_specs=[
-            pl.BlockSpec((4, L + 1), lambda s: (0, 0),
+            pl.BlockSpec((L + 1, 4), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 1, L, n_lanes), lambda s: (0, s, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -258,33 +334,61 @@ def _merge_call(n_lanes: int):
     )
 
 
-def _tree_128(spec: C.CurveSpec, pts):
-    """(3, NSLOT, 32, 128) -> per-slot points (element-major (NSLOT, 32) x3)
-    by reducing the 128 residual lanes in XLA (tiny widths)."""
-    x, y, z = (jnp.moveaxis(pts[i], 1, 2) for i in range(3))  # (NSLOT,128,32)
-    p = (x, y, z)
-    w = 128
-    while w > 1:
-        h = w // 2
-        p = C.pt_add(spec, tuple(a[:, :h] for a in p),
-                     tuple(a[:, h:w] for a in p))
-        w = h
-    return tuple(a[:, 0] for a in p)                     # (NSLOT, 32) each
+def _wsum_kernel(cc_ref, id_ref, sl_ref, out_ref):
+    """Weighted suffix sum over slots 15..1 (S = sum_v v * B_v), unrolled
+    in-kernel on width-128 tiles. 30 point adds of fixed cost instead of an
+    XLA scan of tiny-width ops. The identity tiles arrive as an OPERAND —
+    broadcasting the one_mont column in-kernel trips a Mosaic layout bug
+    (offset-lane scalar -> (32,128) broadcast)."""
+    cc = cc_ref[:]
+    t = (id_ref[0], id_ref[1], id_ref[2])
+    s = t
+    if PF.interpret():
+        # One fori body instead of 15 unrolled double-adds: keeps the
+        # XLA:CPU test-mesh compile tractable (see _merge_kernel note).
+        sl = sl_ref[:]
+
+        def body(i, ts):
+            t, s = ts
+            v = NSLOT - 1 - i
+            bv = tuple(jax.lax.dynamic_index_in_dim(sl[c], v, 0,
+                                                    keepdims=False)
+                       for c in range(3))
+            t = PC.pt_add_rows(cc, t, bv)
+            s = PC.pt_add_rows(cc, s, t)
+            return (t, s)
+
+        t, s = jax.lax.fori_loop(0, NSLOT - 1, body, (t, s))
+    else:
+        for v in range(NSLOT - 1, 0, -1):
+            bv = (sl_ref[0, v], sl_ref[1, v], sl_ref[2, v])
+            t = PC.pt_add_rows(cc, t, bv)
+            s = PC.pt_add_rows(cc, s, t)
+    out_ref[0] = s[0]
+    out_ref[1] = s[1]
+    out_ref[2] = s[2]
 
 
-def _wsum(spec: C.CurveSpec, slot_pts):
-    """Weighted suffix sum over slots 15..1: S = sum_v v * B_v."""
-    tail = tuple(a[1:][::-1] for a in slot_pts)          # v = 15..1
+def _wsum_call():
+    return pl.pallas_call(
+        _wsum_kernel,
+        out_shape=jax.ShapeDtypeStruct((3, L, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((L + 1, 4), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, L, 128), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, NSLOT, L, 128), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, L, 128), memory_space=pltpu.VMEM),
+        interpret=PF.interpret(),
+    )
 
-    def step(carry, bv):
-        t, s = carry
-        t = C.pt_add(spec, t, bv)
-        s = C.pt_add(spec, s, t)
-        return (t, s), None
 
-    zero = C.identity_for(spec)
-    (_, s), _ = jax.lax.scan(step, (zero, zero), tail)
-    return s
+def _identity_tiles(spec: C.CurveSpec) -> jnp.ndarray:
+    """(3, L, 128) projective identity tiles, built in XLA outside the
+    kernel (constant-folded)."""
+    one = jnp.asarray(np.asarray(spec.base.one_mont_limbs, np.int32))
+    z = jnp.zeros((L, 128), jnp.int32)
+    return jnp.stack([z, jnp.broadcast_to(one[:, None], (L, 128)), z])
 
 
 def msm_pallas(spec: C.CurveSpec, scalars_canon: jnp.ndarray,
@@ -298,5 +402,5 @@ def msm_pallas(spec: C.CurveSpec, scalars_canon: jnp.ndarray,
     d = digits_tm(scalars_canon, m, b, lpw, w4, n_lanes)
     buckets = _bucket_call(n_lanes, b)(cc, d, px_tm, py_tm)
     reduced = _merge_call(n_lanes)(cc, buckets)
-    slot_pts = _tree_128(spec, reduced)
-    return _wsum(spec, slot_pts)
+    s = _wsum_call()(cc, _identity_tiles(spec), reduced)
+    return (s[0, :, 0], s[1, :, 0], s[2, :, 0])

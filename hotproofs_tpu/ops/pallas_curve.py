@@ -31,7 +31,9 @@ from . import pallas_field as PF
 
 L = F.N_LIMBS
 
-# curve_consts rows (shape (4, 33)):
+# curve_consts columns, LIMB-MAJOR (33, 4) — all accesses are static
+# column slices (integer value indexing inside Mosaic control flow lowers
+# to unsupported gathers):
 #   0: p (extended by one zero digit)
 #   1: mu = -p^{-1} mod R
 #   2: 3*b in Montgomery form
@@ -40,24 +42,27 @@ _CC_CACHE = {}
 
 
 def curve_consts(spec: C.CurveSpec) -> np.ndarray:
-    out = np.zeros((4, L + 1), np.int32)
-    out[0, :L] = spec.base.p_limbs
-    out[1, :L] = spec.base.mu_limbs
-    out[2, :L] = spec.b3_mont
-    out[3, :L] = spec.base.one_mont_limbs
+    out = np.zeros((L + 1, 4), np.int32)
+    out[:L, 0] = spec.base.p_limbs
+    out[:L, 1] = spec.base.mu_limbs
+    out[:L, 2] = spec.b3_mont
+    out[:L, 3] = spec.base.one_mont_limbs
     return out
 
 
 def curve_consts_dev(spec: C.CurveSpec) -> jnp.ndarray:
+    """Device constant pack. Only the HOST array is cached — caching the
+    jnp value would capture a tracer when the first call happens inside a
+    jit trace and leak it into later traces (UnexpectedTracerError)."""
     if spec.name not in _CC_CACHE:
-        _CC_CACHE[spec.name] = jnp.asarray(curve_consts(spec))
-    return _CC_CACHE[spec.name]
+        _CC_CACHE[spec.name] = curve_consts(spec)
+    return jnp.asarray(_CC_CACHE[spec.name])
 
 
 def identity_rows(cc, n):
     """Identity (0 : 1 : 0) as limb-major tiles of width n."""
     x = jnp.zeros((L, n), jnp.int32)
-    y = jnp.broadcast_to(cc[3, :L, None], (L, n))
+    y = jnp.broadcast_to(cc[:L, 3:4], (L, n))
     z = jnp.zeros((L, n), jnp.int32)
     return (x, y, z)
 
@@ -65,13 +70,13 @@ def identity_rows(cc, n):
 def pt_add_rows(cc, p, q):
     """Complete projective addition, RCB15 Alg 7 (a=0); 12 muls + 2 b3-muls.
     cc = curve_consts pack; p, q = (X, Y, Z) of (32, N) Montgomery tiles."""
-    fc = cc[:2]                  # field consts view (p, mu rows)
-    b3 = cc[2, :L]
+    fc = cc[:, :2]               # field consts view (p, mu columns)
+    b3 = cc[:L, 2:3]             # (32, 1)
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     mul = lambda a, b: PF.mont_mul_rows(fc, a, b)
     mulc = lambda a: PF.mont_mul_rows(fc, a, jnp.broadcast_to(
-        b3[:, None], a.shape))
+        b3, a.shape))
     add = lambda a, b: PF.add_rows(fc, a, b)
     sub = lambda a, b: PF.sub_rows(fc, a, b)
 
@@ -100,13 +105,13 @@ def pt_add_rows(cc, p, q):
 def pt_add_mixed_rows(cc, p, q_affine):
     """Complete mixed addition, RCB15 Alg 8 (a=0, Z2=1); 11 muls + 2 b3.
     q_affine = (x2, y2) tiles of a point that is NEVER the identity."""
-    fc = cc[:2]
-    b3 = cc[2, :L]
+    fc = cc[:, :2]
+    b3 = cc[:L, 2:3]
     X1, Y1, Z1 = p
     X2, Y2 = q_affine
     mul = lambda a, b: PF.mont_mul_rows(fc, a, b)
     mulc = lambda a: PF.mont_mul_rows(fc, a, jnp.broadcast_to(
-        b3[:, None], a.shape))
+        b3, a.shape))
     add = lambda a, b: PF.add_rows(fc, a, b)
     sub = lambda a, b: PF.sub_rows(fc, a, b)
 
@@ -133,12 +138,12 @@ def pt_add_mixed_rows(cc, p, q_affine):
 
 def pt_double_rows(cc, p):
     """Complete doubling, RCB15 Alg 9 (a=0); 6 muls + 2 squares + 1 b3."""
-    fc = cc[:2]
-    b3 = cc[2, :L]
+    fc = cc[:, :2]
+    b3 = cc[:L, 2:3]
     X, Y, Z = p
     mul = lambda a, b: PF.mont_mul_rows(fc, a, b)
     mulc = lambda a: PF.mont_mul_rows(fc, a, jnp.broadcast_to(
-        b3[:, None], a.shape))
+        b3, a.shape))
     add = lambda a, b: PF.add_rows(fc, a, b)
     sub = lambda a, b: PF.sub_rows(fc, a, b)
 
@@ -172,5 +177,5 @@ def pt_select_rows(mask, p, q):
 def pt_neg_rows(cc, p):
     """(X, -Y, Z): negate Y via p - Y (exact digits; Y < p always)."""
     X, Y, Z = p
-    negY = PF.sub_rows(cc[:2], jnp.zeros_like(Y), Y)
+    negY = PF.sub_rows(cc[:, :2], jnp.zeros_like(Y), Y)
     return (X, negY, Z)

@@ -82,21 +82,21 @@ def _conv_rows(a, b, out_rows):
     return acc
 
 
-def _conv_const_rows(a, c_limbs, out_rows):
-    """Convolution of a (rows_a, N) with a constant digit vector (32,)."""
+def _conv_const_rows(a, c_col, out_rows):
+    """Convolution of a (rows_a, N) with a constant digit COLUMN (32, 1)."""
     n = a.shape[1]
     rows_a = a.shape[0]
     acc = jnp.zeros((out_rows, n), jnp.int32)
     for j in range(rows_a):
-        t = a[j:j + 1, :] * c_limbs[:, None]    # (32, N)
+        t = a[j:j + 1, :] * c_col               # (32, N)
         hi = min(j + L, out_rows)
         acc = acc + jnp.pad(t[: hi - j], ((j, out_rows - hi), (0, 0)))
     return acc
 
 
 def _cond_sub_rows(x, p_col):
-    """x - p if x >= p else x; x (rows, N) canonical digits, p_col (rows,)."""
-    s = x - p_col[:, None]
+    """x - p if x >= p else x; x (rows, N) digits, p_col (rows, 1)."""
+    s = x - p_col
     g = (s < 0).astype(jnp.int32)
     pf = (s == 0).astype(jnp.int32)
     rows = x.shape[0]
@@ -113,12 +113,15 @@ def _cond_sub_rows(x, p_col):
 
 
 def field_consts(spec: F.FieldSpec) -> np.ndarray:
-    """Kernel-input constant pack (2, 33): row 0 = p (ext by 0), row 1 = mu.
-    Pallas kernels may not capture array constants, so every kernel that
-    needs field constants takes this as its first operand."""
-    out = np.zeros((2, L + 1), np.int32)
-    out[0, :L] = spec.p_limbs
-    out[1, :L] = spec.mu_limbs
+    """Kernel-input constant pack, LIMB-MAJOR (33, 2): column 0 = p extended
+    by a zero digit, column 1 = mu = -p^{-1} mod R. Pallas kernels may not
+    capture array constants, so every kernel that needs field constants
+    takes this as an operand; the limb-major layout keeps all accesses
+    static column slices (integer indexing of values inside Mosaic control
+    flow lowers to unsupported gathers)."""
+    out = np.zeros((L + 1, 2), np.int32)
+    out[:L, 0] = spec.p_limbs
+    out[:L, 1] = spec.mu_limbs
     return out
 
 
@@ -127,9 +130,9 @@ def mont_mul_rows(consts, a, b):
 
     Pure jnp on VMEM-resident values — call INSIDE a pallas kernel (or any
     fused context). Semantics identical to field.mont_mul. `consts` is the
-    field_consts() pack (2, 33)."""
-    p_ext = consts[0]          # (33,)
-    mu = consts[1, :L]         # (32,)
+    field_consts() pack (33, 2)."""
+    p_ext = consts[:, 0:1]     # (33, 1)
+    mu = consts[:L, 1:2]       # (32, 1)
     p_l = p_ext[:L]
     t = _ks_carry_rows(_conv_rows(a, b, 2 * L))          # (64, N) exact T
     m = _ks_carry_rows(_conv_const_rows(t[:L], mu, L))   # m = T*mu mod R
@@ -146,7 +149,7 @@ def add_rows(consts, a, b):
     s = a + b
     s = jnp.pad(s, ((0, 1), (0, 0)))
     s = _ks_carry_rows(s)
-    return _cond_sub_rows(s, consts[0])[:L]
+    return _cond_sub_rows(s, consts[:, 0:1])[:L]
 
 
 def sub_rows(consts, a, b):
@@ -163,7 +166,7 @@ def sub_rows(consts, a, b):
     dd = s - borrow_in
     diff = jnp.where(dd < 0, dd + 256, dd)
     borrowed = g[-1:] > 0                # (1, N)
-    corrected = _ks_carry_rows(diff + consts[0, :L, None])
+    corrected = _ks_carry_rows(diff + consts[:L, 0:1])
     return jnp.where(borrowed, corrected, diff)
 
 
@@ -184,10 +187,12 @@ def field_consts_dev(spec: F.FieldSpec) -> jnp.ndarray:
     """Device-resident consts pack. MUST be threaded into jitted programs as
     a RUNTIME ARGUMENT: a jit-closure-captured constant feeding a pallas
     input makes every call ~70x slower (measured 2.43 ms vs 0.034 ms on a
-    v5e — the embedded literal is re-staged per call)."""
+    v5e — the embedded literal is re-staged per call). Only the HOST array
+    is cached: caching the jnp value would capture a tracer when first
+    called inside a jit trace and leak it into later traces."""
     if spec.name not in _CONSTS_CACHE:
-        _CONSTS_CACHE[spec.name] = jnp.asarray(field_consts(spec))
-    return _CONSTS_CACHE[spec.name]
+        _CONSTS_CACHE[spec.name] = field_consts(spec)
+    return jnp.asarray(_CONSTS_CACHE[spec.name])
 
 
 def mont_mul_lm(spec: F.FieldSpec, a, b):
@@ -199,7 +204,7 @@ def mont_mul_lm(spec: F.FieldSpec, a, b):
             _mont_mul_kernel,
             out_shape=jax.ShapeDtypeStruct((L, n), jnp.int32),
             grid=(n // N_LANES,),
-            in_specs=[pl.BlockSpec((2, L + 1), lambda i: (0, 0),
+            in_specs=[pl.BlockSpec((L + 1, 2), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)]
             + [pl.BlockSpec((L, N_LANES), lambda i: (0, i),
                             memory_space=pltpu.VMEM)] * 2,

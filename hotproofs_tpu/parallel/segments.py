@@ -147,6 +147,11 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
     if lockstep:
         assert my_segments is None and devices is None, \
             "lockstep proves all segments on the local device"
+        # Fault-tolerance knobs are implemented only by the thread-pool
+        # path; silently ignoring them would give a caller neither
+        # checkpointing nor fault detection.
+        assert retries == 1 and not verify_each and checkpoint_dir is None, \
+            "retries/verify_each/checkpoint_dir require lockstep=False"
         chains = [([v for v in zs[a]], canon[a:b], X_host[a:b])
                   for a, b in bounds]
         chunk = min(16, max(b - a for a, b in bounds))
@@ -176,9 +181,11 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
         a, b = bounds[k]
         try:
             p = IVCProof.load(path)
-            # The file must be THIS job's segment k: right length, right
-            # boundary states. Full verify only when verify_each (resume
-            # must stay cheap for the common clean-restart case).
+            # The file must be THIS job's segment k: right circuit/key,
+            # right length, right boundary states. Full verify only when
+            # verify_each (resume must stay cheap for the common
+            # clean-restart case).
+            assert p.pp_digest == ivc.pp_digest, "foreign checkpoint"
             assert p.num_steps == b - a, "wrong segment length"
             assert [v % fp for v in p.z0[:io_arity]] == \
                 [v % fp for v in zs[a][:io_arity]], "wrong z0"

@@ -1,0 +1,86 @@
+"""IVC with the fused pallas MSM path forced on (interpret mode on CPU).
+
+The pallas commit path must be BIT-IDENTICAL to the XLA commit path: same
+comm_W/comm_T points, same Fiat-Shamir challenges, same proof bytes. On TPU
+this is the production fold path (utils/config.pallas_msm_enabled); tests
+force it via HOTPROOFS_PALLAS_MSM=1 so CI covers the exact prover branches
+bench.py exercises on the chip.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hotproofs_tpu.ops.curve as C
+from hotproofs_tpu.circuits import gadgets as g
+from hotproofs_tpu.circuits.blake3_compression import VESTA_PRIME
+from hotproofs_tpu.circuits.dsl import compile_circuit, eval_witness
+from hotproofs_tpu.nova.ivc import IVC
+from hotproofs_tpu.nova.pedersen import CommitmentKey
+from hotproofs_tpu.nova.r1cs import ShapeDevice
+from hotproofs_tpu.utils import config as cfg
+
+
+def _toy_step(ctx):
+    z_out = ctx.declare_output("z_out", 1)
+    z_in = ctx.declare_input("z_in", 1, public=True)
+    sq = g.mul(ctx, z_in[0], z_in[0], name="sq")
+    cube = g.mul(ctx, sq, z_in[0], name="cube")
+    ctx.bind(z_out[0], cube + 7)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    p = VESTA_PRIME
+    r1cs, layout = compile_circuit(_toy_step, p)
+    shape = ShapeDevice.from_dsl(r1cs)
+    ck = CommitmentKey.create(C.PALLAS, b"toy-plivc",
+                              max(shape.n_wit, shape.n_cons))
+    ivc = IVC(shape, C.PALLAS, ck, None)
+
+    def make_chain(z0: int, n_steps: int):
+        z, wits = z0 % p, []
+        for _ in range(n_steps):
+            w = eval_witness(_toy_step, layout, {"z_in": [z]})
+            wits.append([int(v) for v in w])
+            z = (pow(z, 3, p) + 7) % p
+        spec = shape.field
+        canon = jnp.asarray(np.stack([spec.batch_to_limbs(w) for w in wits]))
+        X_host = [[int(v) % p for v in w[1:1 + shape.n_io]] for w in wits]
+        return ([z0], canon, X_host), z
+
+    return ivc, make_chain
+
+
+@pytest.fixture()
+def force_pallas(monkeypatch):
+    monkeypatch.setattr(cfg.CONFIG, "pallas_msm", "1")
+
+
+def test_prove_batch_pallas_matches_xla(stack, force_pallas):
+    ivc, make_chain = stack
+    ch, zf = make_chain(3, 4)
+    pl_proof = ivc.prove_batch(*ch, chunk_steps=2)
+    assert ivc.verify(pl_proof, io_arity=1) == [zf]
+
+    cfg.CONFIG.pallas_msm = "0"
+    try:
+        xla_proof = ivc.prove_batch(*ch, chunk_steps=2)
+    finally:
+        cfg.CONFIG.pallas_msm = "1"
+    assert pl_proof.to_dict() == xla_proof.to_dict(), \
+        "pallas-MSM proof differs from XLA-MSM proof"
+
+
+def test_lockstep_pallas(stack, force_pallas):
+    ivc, make_chain = stack
+    chains, finals = [], []
+    for z0, n in ((5, 3), (7, 2)):
+        ch, zf = make_chain(z0, n)
+        chains.append(ch)
+        finals.append(zf)
+    lock = ivc.prove_lockstep(chains, chunk_steps=2)
+    for ch, zf, lp in zip(chains, finals, lock):
+        assert ivc.verify(lp, io_arity=1) == [zf]
+        single = ivc.prove_batch(*ch, chunk_steps=2)
+        assert lp.to_dict() == single.to_dict()
