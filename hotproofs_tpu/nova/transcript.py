@@ -24,7 +24,7 @@ HALF_MASK = (1 << HALF_BITS) - 1
 
 class Transcript:
     def __init__(self, field_name: str, domain: bytes, pp_digest: int):
-        self.spec = P.make_spec(field_name)
+        self.spec = P.spec_for(field_name)
         tag = int.from_bytes(
             hashlib.sha256(b"hotproofs/transcript/" + domain).digest(),
             "little") % self.spec.field.p
@@ -60,7 +60,7 @@ def transcript_poseidon_params(field_name: str) -> Tuple[int, int, int]:
     """(t, R_F, R_P) of the transcript's Poseidon instance — part of the
     exported verification key (nova/vk.py) so a foreign verifier knows the
     exact Fiat-Shamir sponge."""
-    spec = P.make_spec(field_name)
+    spec = P.spec_for(field_name)
     return spec.t, spec.r_full, spec.r_partial
 
 

@@ -12,10 +12,24 @@ output, rejection sampling of field elements; MDS is the Cauchy matrix
 NOTE on bit-exactness: the reference's exact transcript depends on arecibo's
 internal neptune parameterisation (strength/arity/HashType tags), which is
 not observable in this environment (no Rust toolchain; SURVEY.md §4 item 3).
-This stack therefore fixes its own documented parameterisation (t=3, R_F=8,
-R_P=57, alpha=5) and keeps prover/verifier self-consistent; the transcript
-module isolates every absorb/squeeze so a future round can swap constants for
-arecibo-parity without touching fold logic.
+This stack ships TWO selectable parameterisations (HOTPROOFS_POSEIDON):
+
+  * "default": t=3, R_F=8, R_P=57 (the Poseidon paper script's output for
+    255-bit primes at 128-bit security INCLUDING its security margin applied
+    to the pre-margin R_P bound of 53);
+  * "neptune": neptune 13.0.0's round numbers — R_F/R_P from a port of its
+    `round_numbers.rs::calc_round_numbers` search (neptune_round_numbers
+    below; (8, 55) for t=3 / arity 2 at 255 bits, the published
+    Filecoin/neptune numbers), the same Grain-LFSR constant stream, and the
+    same Cauchy MDS 1/(x_i + y_j) with x = 0..t, y = t..2t that
+    neptune's `mds.rs::generate_mds` builds. Domain tags follow neptune's
+    `hash_type.rs` (Standard/MerkleTree: 2^arity - 1; ConstantLength(l):
+    l * 2^64) via neptune_domain_tag. What remains UNVERIFIABLE without a
+    Rust toolchain: neptune's published test vectors cannot be executed
+    here, so "neptune" is best-effort parity, kept selectable rather than
+    default; prover/verifier remain self-consistent under either spec and
+    the exported vk records (t, R_F, R_P) so a foreign verifier knows which
+    sponge to replay.
 
 The JAX permutation is branchless (full/partial round masks) and batched; a
 host exact-integer mirror serves as the test oracle.
@@ -101,6 +115,74 @@ def make_spec(field_name: str, t: int = 3, r_full: int = R_FULL,
     ys = list(range(t, 2 * t))
     mds = tuple(tuple(pow((x + y) % p, p - 2, p) for y in ys) for x in xs)
     return PoseidonSpec(field, t, r_full, r_partial, rc, mds)
+
+
+# ---------------------------------------------------------------------------
+# neptune 13.0.0-compatible parameterisation (SURVEY.md §2b neptune row).
+# ---------------------------------------------------------------------------
+
+
+def neptune_round_numbers(t: int, n_bits: int = 255, m: int = 128,
+                          security_margin: bool = True) -> Tuple[int, int]:
+    """(R_F, R_P) per neptune 13.0.0's `round_numbers.rs::calc_round_numbers`
+    (itself a port of the Poseidon paper's calc_round_numbers.py for GF(p),
+    alpha=5): minimise sbox count t*R_F + R_P over even R_F subject to the
+    statistical / interpolation / Groebner bounds, then apply the standard
+    margin (R_F += 2, R_P *= 1.075). Reproduces the published
+    Filecoin/neptune numbers: arity 2 -> (8, 55), 4 -> (8, 56),
+    8 -> (8, 57), 11 -> (8, 57) at 255-bit primes, 128-bit security."""
+    import math
+
+    def secure(rf: int, rp: int) -> bool:
+        rf_stat = 6.0 if m <= (n_bits - 3.0) * (t + 1.0) else 10.0
+        rf_interp = 0.43 * m + math.log2(t) - rp
+        rf_grob_1 = 0.21 * n_bits - rp
+        rf_grob_2 = (0.14 * n_bits - 1.0 - rp) / (t - 1.0)
+        return rf >= max(rf_stat, rf_interp, rf_grob_1, rf_grob_2)
+
+    best = None
+    for rf in range(2, 1001, 2):
+        for rp in range(4, 1001):
+            if secure(rf, rp):
+                rf_f, rp_f = rf, rp
+                if security_margin:
+                    rf_f = rf + 2
+                    rp_f = math.ceil(rp * 1.075)
+                cost = t * rf_f + rp_f
+                if best is None or cost < best[0]:
+                    best = (cost, rf_f, rp_f)
+                break  # larger rp at this rf only raises the cost
+    assert best is not None
+    return best[1], best[2]
+
+
+def neptune_domain_tag(arity: int = None, const_len: int = None) -> int:
+    """neptune `hash_type.rs` domain tags: Standard/MerkleTree(arity) =
+    2^arity - 1; ConstantLength(l) = l * 2^64. Exactly one selector."""
+    assert (arity is None) != (const_len is None)
+    if arity is not None:
+        return (1 << arity) - 1
+    return const_len << 64
+
+
+@lru_cache(maxsize=None)
+def make_spec_neptune(field_name: str, arity: int = 2) -> PoseidonSpec:
+    """neptune 13.0.0-parameterised spec: t = arity + 1, round numbers from
+    neptune's search, constants from the shared Grain stream, Cauchy MDS
+    (identical construction to neptune's generate_mds)."""
+    field = F.FIELDS[field_name]
+    t = arity + 1
+    r_f, r_p = neptune_round_numbers(t, n_bits=field.p.bit_length())
+    return make_spec(field_name, t, r_f, r_p)
+
+
+def spec_for(field_name: str) -> PoseidonSpec:
+    """The process-wide transcript spec, selected by HOTPROOFS_POSEIDON
+    (utils/config.py): "default" or "neptune" (arity-2, Nova's RO shape)."""
+    from ..utils.config import CONFIG
+    if CONFIG.poseidon == "neptune":
+        return make_spec_neptune(field_name, arity=2)
+    return make_spec(field_name)
 
 
 # ---------------------------------------------------------------------------

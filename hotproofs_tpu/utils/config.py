@@ -26,6 +26,11 @@ class Config:
     # a real TPU (measured 20x the XLA sort-free MSM on a v5e), "1" force-on
     # (CPU interpret mode — slow, test-only), "0" force-off.
     pallas_msm: str = os.environ.get("HOTPROOFS_PALLAS_MSM", "auto")
+    # Transcript Poseidon parameterisation: "default" (t=3, R_F=8, R_P=57)
+    # or "neptune" (neptune 13.0.0 round numbers, (8, 55) at 255 bits —
+    # ops/poseidon.py neptune_round_numbers). Prover and verifier must agree;
+    # the exported vk records the chosen (t, R_F, R_P).
+    poseidon: str = os.environ.get("HOTPROOFS_POSEIDON", "default")
 
 
 CONFIG = Config()
