@@ -420,10 +420,19 @@ class ChunkProver:
     @property
     def recursive(self):
         """Lazily-built RecursiveSNARK with the BLAKE3 step as F — the
-        augmented-IVC engine (O(1) verifier; docs/AUGMENTED.md).
-        Currently Pasta-cycle only (the default engine)."""
+        augmented-IVC engine (O(1) verifier; docs/AUGMENTED.md). Runs on
+        the prover's cycle: Pasta, or BN254/Grumpkin for
+        ChunkProver(curve="bn254") — the reference's default engine for
+        the augmented construction (main.rs:319-331)."""
         if self._recursive is None:
             from ..nova.recursive import RecursiveSNARK
+            from ..ops import curve as C_
+
+            cycles = {"pallas": (C_.PALLAS, C_.VESTA),
+                      "vesta": (C_.VESTA, C_.PALLAS),
+                      "bn254": (C_.BN254, C_.GRUMPKIN),
+                      "grumpkin": (C_.GRUMPKIN, C_.BN254)}
+            cycle = cycles[self.ivc.curve.name]
 
             def f_gadget(ctx, z_prev, extra):
                 return nova_circ.nova_step_body(ctx, z_prev, extra, 0)
@@ -438,7 +447,7 @@ class ChunkProver:
 
             self._recursive = RecursiveSNARK(
                 f_gadget, f_host, arity=IO_ARITY, label=b"blake3-rec",
-                f_extra_decl=nova_circ.declare_step_inputs)
+                f_extra_decl=nova_circ.declare_step_inputs, cycle=cycle)
         return self._recursive
 
     def prove_recursive(self, data: bytes, chunk_idx: int,

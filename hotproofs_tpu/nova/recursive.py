@@ -353,29 +353,39 @@ class CompressedRecursiveProof:
 
 class RecursiveSNARK:
     """Two-cycle augmented IVC. f_gadget/f_host: the step function as a DSL
-    gadget and its host mirror. Primary = Pallas-committed (circuit over
-    Pallas' scalar field), secondary = Vesta-committed."""
+    gadget and its host mirror. Primary = cycle[0]-committed (circuit over
+    cycle[0]'s scalar field), secondary = cycle[1]-committed.
+
+    cycle: any 2-cycle of curves (scalar of one == base of the other) —
+    Pasta (Pallas, Vesta) by default, or (BN254, Grumpkin), the reference's
+    DEFAULT engine for the augmented construction (Bn256EngineZM/Grumpkin,
+    rust_fold/src/main.rs:319-331)."""
 
     def __init__(self, f_gadget: Callable, f_host: Callable, arity: int,
                  label: bytes = b"recursive",
-                 f_extra_decl: Optional[Callable] = None):
-        q = C.PALLAS.scalar.p       # primary circuit field
-        p = C.VESTA.scalar.p        # secondary circuit field
+                 f_extra_decl: Optional[Callable] = None,
+                 cycle: Tuple[C.CurveSpec, C.CurveSpec] = (C.PALLAS,
+                                                           C.VESTA)):
+        cur1, cur2 = cycle
+        assert cur1.scalar.p == cur2.base.p and \
+            cur2.scalar.p == cur1.base.p, "not a 2-cycle of curves"
+        q = cur1.scalar.p       # primary circuit field
+        p = cur2.scalar.p       # secondary circuit field
         self.q, self.p = q, p
         self.arity = arity
         self.f_host = f_host
-        self.pspec1 = P.make_spec(C.PALLAS.scalar.name)
-        self.pspec2 = P.make_spec(C.VESTA.scalar.name)
+        self.pspec1 = P.make_spec(cur1.scalar.name)
+        self.pspec2 = P.make_spec(cur2.scalar.name)
 
         # vk binds both shapes + keys; computed over throwaway builds
         # first (the circuits don't embed vk in constraints' structure —
         # it enters only as a hashed constant value, so we can build once
         # with vk=0 to get shapes, then rebuild with the real vk).
         c1_probe = NA.make_augmented_circuit(
-            self.pspec1, C.VESTA.b, p, 0, arity, f_gadget,
+            self.pspec1, cur2.b, p, 0, arity, f_gadget,
             fold_at_base=True, f_extra_decl=f_extra_decl)
         c2_probe = NA.make_augmented_circuit(
-            self.pspec2, C.PALLAS.b, q, 0, 0, None, fold_at_base=False)
+            self.pspec2, cur1.b, q, 0, 0, None, fold_at_base=False)
         r1, _ = compile_circuit(c1_probe, q)
         r2, _ = compile_circuit(c2_probe, p)
         # vk binds the FULL probe shapes (all three matrices' sparsity and
@@ -397,13 +407,15 @@ class RecursiveSNARK:
             label, _mat_bytes(r1), _mat_bytes(r2),
         ) % (1 << NA.CHALLENGE_BITS)
 
-        c1 = NA.make_augmented_circuit(self.pspec1, C.VESTA.b, p, self.vk,
+        c1 = NA.make_augmented_circuit(self.pspec1, cur2.b, p, self.vk,
                                        arity, f_gadget, fold_at_base=True,
                                        f_extra_decl=f_extra_decl)
-        c2 = NA.make_augmented_circuit(self.pspec2, C.PALLAS.b, q, self.vk,
+        c2 = NA.make_augmented_circuit(self.pspec2, cur1.b, q, self.vk,
                                        0, None, fold_at_base=False)
-        self.side1 = Side("primary", c1, q, C.PALLAS, label + b"-1")
-        self.side2 = Side("secondary", c2, p, C.VESTA, label + b"-2")
+        self.side1 = Side("primary", c1, q, cur1,
+                          label + b"-" + cur1.name.encode() + b"-1")
+        self.side2 = Side("secondary", c2, p, cur2,
+                          label + b"-" + cur2.name.encode() + b"-2")
 
     # -- proving ------------------------------------------------------------
     def prove(self, z0: Sequence[int], n_steps: int,
