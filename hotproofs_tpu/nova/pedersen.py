@@ -162,6 +162,61 @@ class CommitmentKey:
 
         return fn
 
+    def commit_many_pallas_fn(self, m: int, max_bits: int = 256):
+        """Batched fast-path commit fn(scalars (J, m, 32), px_tm, py_tm) ->
+        stacked projective (J, 32) x3 — J MSMs over the SHARED base array in
+        one dispatch (ops/msm_pallas.msm_pallas_many)."""
+        from ..ops import msm_pallas as MP
+
+        return lambda s, px, py: MP.msm_pallas_many(self.spec, s, px, py, m,
+                                                    max_bits)
+
+    def commit_many_pallas(self, scalars: jnp.ndarray,
+                           max_bits: int = 256) -> C.Point:
+        """Standalone-dispatch batched commit, jit-cached per (J, m, bits)."""
+        J, m = scalars.shape[0], scalars.shape[1]
+        key = ("pallas_many", J, m, max_bits)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                self.commit_many_pallas_fn(m, max_bits))
+        px, py = self.scaled_tm(m, max_bits)
+        return self._jit_cache[key](scalars, px, py)
+
+    def commit_many_split_pallas_fn(self, m: int, big_idx: np.ndarray,
+                                    max_bits: int = SMALL_BITS):
+        """Batched split commit: small parts through ONE msm_pallas_many
+        dispatch, the few full-width positions through a vmapped XLA
+        scale-on-the-fly MSM."""
+        from ..ops import msm_pallas as MP
+
+        pts = tuple(p[:m] for p in self.points)
+        big = jnp.asarray(big_idx.astype(np.int32))
+        big_pts = tuple(p[big] for p in pts) if len(big_idx) else None
+
+        def fn(s, px, py):
+            small = s.at[:, big].set(0) if len(big_idx) else s
+            acc = MP.msm_pallas_many(self.spec, small, px, py, m, max_bits)
+            if len(big_idx):
+                bigp = jax.vmap(
+                    lambda sc: M.msm(self.spec, sc[big], big_pts,
+                                     max_bits=256))(s)
+                acc = jax.vmap(
+                    lambda a, b2: C.pt_add(self.spec, a, b2))(acc, bigp)
+            return acc
+
+        return fn
+
+    def commit_many_split_pallas(self, scalars: jnp.ndarray,
+                                 big_idx: np.ndarray) -> C.Point:
+        """Standalone-dispatch batched split commit (per-shape jit cache)."""
+        J, m = scalars.shape[0], scalars.shape[1]
+        key = ("pallas_many_split", J, m, len(big_idx))
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                self.commit_many_split_pallas_fn(m, big_idx))
+        px, py = self.scaled_tm(m, SMALL_BITS)
+        return self._jit_cache[key](scalars, px, py)
+
     def commit_pallas(self, scalars_canon: jnp.ndarray,
                       max_bits: int = 256) -> C.Point:
         """Standalone-dispatch pallas commit, jit-cached per (m, max_bits).

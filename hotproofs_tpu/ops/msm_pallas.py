@@ -61,19 +61,20 @@ BC = 8         # points per lane per grid step
 _INV_CACHE = {}
 
 
-def _inv_kernel(c_ref, bits_ref, z_ref, o_ref):
+def _inv_kernel(c_ref, tp_ref, bits_ref, z_ref, o_ref):
     """Fermat inversion, fully in-kernel: fori over the 255 exponent bits
     (bit array in SMEM), two VMEM mont_muls per bit. One kernel launch for
     the whole batch instead of a 510-launch XLA scan (which took ~17 min to
     compile through the remote relay)."""
     c = c_ref[:]
+    fc = (c[:, :2], tp_ref[:])
     z = z_ref[:]
     one_col = c[:L, 2:3]                    # one_mont column
     acc0 = jnp.broadcast_to(one_col, z.shape)
 
     def body(i, acc):
-        acc = PF.mont_mul_rows(c[:, :2], acc, acc)
-        withz = PF.mont_mul_rows(c[:, :2], acc, z)
+        acc = PF.mont_mul_rows(fc, acc, acc)
+        withz = PF.mont_mul_rows(fc, acc, z)
         bit = bits_ref[0, i]
         return jnp.where(bit > 0, withz, acc)
 
@@ -96,6 +97,8 @@ def batch_inv_mont_lm(spec: F.FieldSpec, z_lm: jnp.ndarray) -> jnp.ndarray:
             in_specs=[
                 pl.BlockSpec((L + 1, 4), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * L, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, nbits), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((L, PF.N_LANES), lambda i: (0, i),
@@ -115,7 +118,8 @@ def batch_inv_mont_lm(spec: F.FieldSpec, z_lm: jnp.ndarray) -> jnp.ndarray:
         # would leak a tracer into later traces).
         _INV_CACHE[key] = (jax.jit(fn), cpack, bits)
     fn, cpack, bits = _INV_CACHE[key]
-    return fn(jnp.asarray(cpack), jnp.asarray(bits), z_lm)
+    return fn(jnp.asarray(cpack), PF.toep_consts_dev(spec),
+              jnp.asarray(bits), z_lm)
 
 
 def plan(m: int, max_bits: int) -> Tuple[int, int, int, int]:
@@ -201,13 +205,14 @@ def digits_tm(scalars_canon: jnp.ndarray, m: int, b: int, lpw: int,
 # ---------------------------------------------------------------------------
 
 
-def _bucket_kernel(cc_ref, d_ref, px_ref, py_ref, out_ref):
-    cc = cc_ref[:]
-    t_chunk = pl.program_id(1)
+def _bucket_kernel(cc_ref, tp_ref, d_ref, px_ref, py_ref, out_ref):
+    cci = cc_ref[:]
+    cc = (cci, tp_ref[:])
+    t_chunk = pl.program_id(2)
     # Precompute the identity-Y fill OUTSIDE the when-branch: integer
     # indexing of a value inside a Mosaic cond branch lowers to an
     # unsupported gather.
-    y_fill = jnp.broadcast_to(cc[:L, 3:4][None], (NSLOT, L, LB))
+    y_fill = jnp.broadcast_to(cci[:L, 3:4][None], (NSLOT, L, LB))
 
     @pl.when(t_chunk == 0)
     def _():
@@ -216,7 +221,7 @@ def _bucket_kernel(cc_ref, d_ref, px_ref, py_ref, out_ref):
         out_ref[2] = jnp.zeros((NSLOT, L, LB), jnp.int32)
 
     def body(tt, _):
-        d = d_ref[pl.ds(tt, 1), :]                       # (1, LB)
+        d = d_ref[0, pl.ds(tt, 1), :]                    # (1, LB)
         px = px_ref[pl.ds(tt, 1)].reshape(L, LB)
         py = py_ref[pl.ds(tt, 1)].reshape(L, LB)
         # one-hot gather of each lane's target bucket
@@ -236,27 +241,38 @@ def _bucket_kernel(cc_ref, d_ref, px_ref, py_ref, out_ref):
             out_ref[2, s] = jnp.where(m, nz, out_ref[2, s])
         return 0
 
-    jax.lax.fori_loop(0, d_ref.shape[0], body, 0)
+    jax.lax.fori_loop(0, d_ref.shape[1], body, 0)
 
 
-def _bucket_call(n_lanes: int, b: int):
+def _bucket_call(n_jobs: int, n_lanes: int, b: int):
+    """Grid (jobs, lane_blocks, t_chunks), t innermost so the output block
+    (one lane block's bucket set of one job) stays VMEM-resident across all
+    t iterations. The BASE blocks index only (t, lane_block): all jobs
+    stream the SAME base array — one HBM copy regardless of J (the whole
+    point of job batching: K lockstep comm_T MSMs or a chunk of W commits
+    in ONE dispatch instead of K serialized ~30 ms dispatches)."""
     bc = min(BC, b)
     assert b % bc == 0
+    gb = n_lanes // LB
     return pl.pallas_call(
         _bucket_kernel,
-        out_shape=jax.ShapeDtypeStruct((3, NSLOT, L, n_lanes), jnp.int32),
-        grid=(n_lanes // LB, b // bc),
+        out_shape=jax.ShapeDtypeStruct((3, NSLOT, L, n_jobs * n_lanes),
+                                       jnp.int32),
+        grid=(n_jobs, gb, b // bc),
         in_specs=[
-            pl.BlockSpec((L + 1, 4), lambda g, t: (0, 0),
+            pl.BlockSpec((L + 1, 4), lambda j, g, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, LB), lambda g, t: (t, g),
+            pl.BlockSpec((5 * L, L), lambda j, g, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, L, LB), lambda g, t: (t, 0, g),
+            pl.BlockSpec((1, bc, LB), lambda j, g, t: (j, t, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, L, LB), lambda g, t: (t, 0, g),
+            pl.BlockSpec((bc, L, LB), lambda j, g, t: (t, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, L, LB), lambda j, g, t: (t, 0, g),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, NSLOT, L, LB), lambda g, t: (0, 0, 0, g),
+        out_specs=pl.BlockSpec((3, NSLOT, L, LB),
+                               lambda j, g, t: (0, 0, 0, j * gb + g),
                                memory_space=pltpu.VMEM),
         interpret=PF.interpret(),
     )
@@ -267,13 +283,13 @@ def _bucket_call(n_lanes: int, b: int):
 # ---------------------------------------------------------------------------
 
 
-def _merge_kernel(cc_ref, bk_ref, out_ref):
+def _merge_kernel(cc_ref, tp_ref, bk_ref, out_ref):
     """Reduce one bucket slot's lane axis all the way to a single point
     (broadcast across the 128-lane output tile). The full halving tree runs
     in-kernel: doing the tail reduction in XLA costs ~37 sequential
     tiny-width point adds (~40 ms of in-graph overhead per MSM — measured
     dominant over the bucket kernel itself)."""
-    cc = cc_ref[:]
+    cc = (cc_ref[:], tp_ref[:])
     n_lanes = bk_ref.shape[3]
     n_chunks = n_lanes // LB
 
@@ -317,30 +333,33 @@ def _merge_kernel(cc_ref, bk_ref, out_ref):
     out_ref[2, 0] = acc[2]
 
 
-def _merge_call(n_lanes: int):
+def _merge_call(n_jobs: int, n_lanes: int):
     return pl.pallas_call(
         _merge_kernel,
-        out_shape=jax.ShapeDtypeStruct((3, NSLOT, L, 128), jnp.int32),
-        grid=(NSLOT,),
+        out_shape=jax.ShapeDtypeStruct((3, NSLOT, L, n_jobs * 128),
+                                       jnp.int32),
+        grid=(n_jobs, NSLOT),
         in_specs=[
-            pl.BlockSpec((L + 1, 4), lambda s: (0, 0),
+            pl.BlockSpec((L + 1, 4), lambda j, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 1, L, n_lanes), lambda s: (0, s, 0, 0),
+            pl.BlockSpec((5 * L, L), lambda j, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1, L, n_lanes), lambda j, s: (0, s, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, 1, L, 128), lambda s: (0, s, 0, 0),
+        out_specs=pl.BlockSpec((3, 1, L, 128), lambda j, s: (0, s, 0, j),
                                memory_space=pltpu.VMEM),
         interpret=PF.interpret(),
     )
 
 
-def _wsum_kernel(cc_ref, id_ref, sl_ref, out_ref):
+def _wsum_kernel(cc_ref, tp_ref, id_ref, sl_ref, out_ref):
     """Weighted suffix sum over slots 15..1 (S = sum_v v * B_v), unrolled
     in-kernel on width-128 tiles. 30 point adds of fixed cost instead of an
     XLA scan of tiny-width ops. The identity tiles arrive as an OPERAND —
     broadcasting the one_mont column in-kernel trips a Mosaic layout bug
     (offset-lane scalar -> (32,128) broadcast)."""
-    cc = cc_ref[:]
+    cc = (cc_ref[:], tp_ref[:])
     t = (id_ref[0], id_ref[1], id_ref[2])
     s = t
     if PF.interpret():
@@ -369,16 +388,23 @@ def _wsum_kernel(cc_ref, id_ref, sl_ref, out_ref):
     out_ref[2] = s[2]
 
 
-def _wsum_call():
+def _wsum_call(n_jobs: int):
     return pl.pallas_call(
         _wsum_kernel,
-        out_shape=jax.ShapeDtypeStruct((3, L, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((3, L, n_jobs * 128), jnp.int32),
+        grid=(n_jobs,),
         in_specs=[
-            pl.BlockSpec((L + 1, 4), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, L, 128), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, NSLOT, L, 128), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L + 1, 4), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5 * L, L), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, L, 128), lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, NSLOT, L, 128), lambda j: (0, 0, 0, j),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, L, 128), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((3, L, 128), lambda j: (0, 0, j),
+                               memory_space=pltpu.VMEM),
         interpret=PF.interpret(),
     )
 
@@ -391,16 +417,35 @@ def _identity_tiles(spec: C.CurveSpec) -> jnp.ndarray:
     return jnp.stack([z, jnp.broadcast_to(one[:, None], (L, 128)), z])
 
 
+def msm_pallas_many(spec: C.CurveSpec, scalars_canon: jnp.ndarray,
+                    px_tm: jnp.ndarray, py_tm: jnp.ndarray,
+                    m: int, max_bits: int) -> C.Point:
+    """J same-shape MSMs over ONE shared base array in ONE dispatch chain.
+
+    scalars_canon: (J, m, 32) canonical limbs. Returns stacked projective
+    (J, 32) x3. This is the lockstep batching fix (VERDICT r03 #1): the K
+    per-chain comm_T commits and the per-chunk W commits each become a
+    single program — profiling showed ~27 ms of fixed dispatch overhead
+    per standalone MSM (tools/profile_msm_phases.py), which at K x chunk
+    dispatches per step dominated the lockstep fold loop."""
+    J = scalars_canon.shape[0]
+    b, lpw, w4, n_lanes = plan(m, max_bits)
+    cc = PC.curve_consts_dev(spec)
+    ct = PC.curve_toep_dev(spec)
+    d = jax.vmap(lambda s: digits_tm(s, m, b, lpw, w4, n_lanes))(
+        scalars_canon)                                   # (J, B, n_lanes)
+    buckets = _bucket_call(J, n_lanes, b)(cc, ct, d, px_tm, py_tm)
+    reduced = _merge_call(J, n_lanes)(cc, ct, buckets)
+    s = _wsum_call(J)(cc, ct, _identity_tiles(spec), reduced)
+    return tuple(s[i].reshape(L, J, 128)[:, :, 0].T
+                 for i in range(3))                      # (J, 32) x3
+
+
 def msm_pallas(spec: C.CurveSpec, scalars_canon: jnp.ndarray,
                px_tm: jnp.ndarray, py_tm: jnp.ndarray,
                m: int, max_bits: int) -> C.Point:
     """MSM over canonical-limb scalars (m, 32) and cached time-major affine
     bases (from scaled_affine_tm). Returns a projective element-major point
     (same convention as ops/msm.msm)."""
-    b, lpw, w4, n_lanes = plan(m, max_bits)
-    cc = PC.curve_consts_dev(spec)
-    d = digits_tm(scalars_canon, m, b, lpw, w4, n_lanes)
-    buckets = _bucket_call(n_lanes, b)(cc, d, px_tm, py_tm)
-    reduced = _merge_call(n_lanes)(cc, buckets)
-    s = _wsum_call()(cc, _identity_tiles(spec), reduced)
-    return (s[0, :, 0], s[1, :, 0], s[2, :, 0])
+    s = msm_pallas_many(spec, scalars_canon[None], px_tm, py_tm, m, max_bits)
+    return (s[0][0], s[1][0], s[2][0])

@@ -38,7 +38,11 @@ L = F.N_LIMBS
 #   1: mu = -p^{-1} mod R
 #   2: 3*b in Montgomery form
 #   3: 1 in Montgomery form (identity Y)
+# The full kernel constant set is the PAIR (curve_consts, curve_toep): the
+# bf16 Toeplitz pack routes the Montgomery reductions and the constant-3b
+# products through the MXU (pallas_field._mont_reduce_rows).
 _CC_CACHE = {}
+_CT_CACHE = {}
 
 
 def curve_consts(spec: C.CurveSpec) -> np.ndarray:
@@ -47,6 +51,15 @@ def curve_consts(spec: C.CurveSpec) -> np.ndarray:
     out[:L, 1] = spec.base.mu_limbs
     out[:L, 2] = spec.b3_mont
     out[:L, 3] = spec.base.one_mont_limbs
+    return out
+
+
+def curve_toep(spec: C.CurveSpec) -> np.ndarray:
+    """(5L, L) MXU pack: rows [0,3L) = base-field toep_consts (mu, p),
+    rows [3L,5L) = full Toeplitz of 3b in Montgomery form."""
+    out = np.zeros((5 * L, L), np.float32)
+    out[:3 * L] = PF.toep_consts(spec.base)
+    out[3 * L:] = PF.toeplitz_of(spec.b3_mont, 2 * L)
     return out
 
 
@@ -59,10 +72,38 @@ def curve_consts_dev(spec: C.CurveSpec) -> jnp.ndarray:
     return jnp.asarray(_CC_CACHE[spec.name])
 
 
+def curve_toep_dev(spec: C.CurveSpec) -> jnp.ndarray:
+    """Device bf16 Toeplitz pack (same host-only caching rule)."""
+    if spec.name not in _CT_CACHE:
+        _CT_CACHE[spec.name] = curve_toep(spec)
+    return jnp.asarray(_CT_CACHE[spec.name], jnp.bfloat16)
+
+
+def _unpack(cc):
+    """cc is (cc_int, toep_bf16) on the MXU path or the legacy (33, 4)
+    array; returns (cc_int, field_consts, mulc_fn)."""
+    if isinstance(cc, (tuple, list)):
+        cci, toep = cc
+        fc = (cci[:, :2], toep[:3 * L])
+        tb3 = toep[3 * L:5 * L]
+        mulc = lambda a: PF.mont_mul_toep_rows(fc, tb3, a)
+        return cci, fc, mulc
+    fc = cc[:, :2]
+    b3 = cc[:L, 2:3]
+    mulc = lambda a: PF.mont_mul_rows(fc, a, jnp.broadcast_to(b3, a.shape))
+    return cc, fc, mulc
+
+
 def identity_rows(cc, n):
-    """Identity (0 : 1 : 0) as limb-major tiles of width n."""
+    """Identity (0 : 1 : 0) as limb-major tiles of width n.
+
+    Y is materialized via an ADD, not jnp.broadcast_to: a lazy broadcast of
+    the (32, 1) one_mont column can reach a downstream row-slice as a fused
+    (1,1)->(rows,lanes) double broadcast, which Mosaic rejects ("Broadcast
+    in both sublanes and lanes")."""
+    cci = cc[0] if isinstance(cc, (tuple, list)) else cc
     x = jnp.zeros((L, n), jnp.int32)
-    y = jnp.broadcast_to(cc[:L, 3:4], (L, n))
+    y = cci[:L, 3:4] + jnp.zeros((L, n), jnp.int32)
     z = jnp.zeros((L, n), jnp.int32)
     return (x, y, z)
 
@@ -70,13 +111,10 @@ def identity_rows(cc, n):
 def pt_add_rows(cc, p, q):
     """Complete projective addition, RCB15 Alg 7 (a=0); 12 muls + 2 b3-muls.
     cc = curve_consts pack; p, q = (X, Y, Z) of (32, N) Montgomery tiles."""
-    fc = cc[:, :2]               # field consts view (p, mu columns)
-    b3 = cc[:L, 2:3]             # (32, 1)
+    _, fc, mulc = _unpack(cc)
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     mul = lambda a, b: PF.mont_mul_rows(fc, a, b)
-    mulc = lambda a: PF.mont_mul_rows(fc, a, jnp.broadcast_to(
-        b3, a.shape))
     add = lambda a, b: PF.add_rows(fc, a, b)
     sub = lambda a, b: PF.sub_rows(fc, a, b)
 
@@ -105,13 +143,10 @@ def pt_add_rows(cc, p, q):
 def pt_add_mixed_rows(cc, p, q_affine):
     """Complete mixed addition, RCB15 Alg 8 (a=0, Z2=1); 11 muls + 2 b3.
     q_affine = (x2, y2) tiles of a point that is NEVER the identity."""
-    fc = cc[:, :2]
-    b3 = cc[:L, 2:3]
+    _, fc, mulc = _unpack(cc)
     X1, Y1, Z1 = p
     X2, Y2 = q_affine
     mul = lambda a, b: PF.mont_mul_rows(fc, a, b)
-    mulc = lambda a: PF.mont_mul_rows(fc, a, jnp.broadcast_to(
-        b3, a.shape))
     add = lambda a, b: PF.add_rows(fc, a, b)
     sub = lambda a, b: PF.sub_rows(fc, a, b)
 
@@ -138,12 +173,9 @@ def pt_add_mixed_rows(cc, p, q_affine):
 
 def pt_double_rows(cc, p):
     """Complete doubling, RCB15 Alg 9 (a=0); 6 muls + 2 squares + 1 b3."""
-    fc = cc[:, :2]
-    b3 = cc[:L, 2:3]
+    _, fc, mulc = _unpack(cc)
     X, Y, Z = p
     mul = lambda a, b: PF.mont_mul_rows(fc, a, b)
-    mulc = lambda a: PF.mont_mul_rows(fc, a, jnp.broadcast_to(
-        b3, a.shape))
     add = lambda a, b: PF.add_rows(fc, a, b)
     sub = lambda a, b: PF.sub_rows(fc, a, b)
 
@@ -176,6 +208,7 @@ def pt_select_rows(mask, p, q):
 
 def pt_neg_rows(cc, p):
     """(X, -Y, Z): negate Y via p - Y (exact digits; Y < p always)."""
+    _, fc, _ = _unpack(cc)
     X, Y, Z = p
-    negY = PF.sub_rows(cc[:, :2], jnp.zeros_like(Y), Y)
+    negY = PF.sub_rows(fc, jnp.zeros_like(Y), Y)
     return (X, negY, Z)

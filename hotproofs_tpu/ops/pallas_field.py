@@ -49,15 +49,20 @@ def interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _ks_carry_rows(t):
-    """Exact carry propagation for digits <= 2^23, limbs along axis 0.
-
-    Three shrink rounds bring every digit <= 256, then one Kogge-Stone
-    lookahead resolves the +1 carries exactly (see field._carry_normalize)."""
-    rows = t.shape[0]
-    for _ in range(3):
+def _shrink_rows(t, rounds: int = 3):
+    """Lazy carry shrink: digits <= 2^23 -> <= 256 in three rounds (each
+    round: keep low byte, push the high bits one row up). Carries out of the
+    top row are dropped — callers guarantee the represented value fits."""
+    for _ in range(rounds):
         hi = t >> 8
         t = (t & 0xFF) + jnp.pad(hi[:-1], ((1, 0), (0, 0)))
+    return t
+
+
+def _ks_fix_rows(t):
+    """Exact canonicalization of digits <= ~511 (post-shrink, possibly with
+    a small additive bump): Kogge-Stone lookahead of the single +1 carries."""
+    rows = t.shape[0]
     g = (t > 0xFF).astype(jnp.int32)
     p = (t == 0xFF).astype(jnp.int32)
     d = 1
@@ -67,6 +72,14 @@ def _ks_carry_rows(t):
         d *= 2
     carry_in = jnp.pad(g[:-1], ((1, 0), (0, 0)))
     return (t + carry_in) & 0xFF
+
+
+def _ks_carry_rows(t):
+    """Exact carry propagation for digits <= 2^23, limbs along axis 0.
+
+    Three shrink rounds bring every digit <= 256, then one Kogge-Stone
+    lookahead resolves the +1 carries exactly (see field._carry_normalize)."""
+    return _ks_fix_rows(_shrink_rows(t))
 
 
 def _conv_rows(a, b, out_rows):
@@ -125,12 +138,77 @@ def field_consts(spec: F.FieldSpec) -> np.ndarray:
     return out
 
 
+def toeplitz_of(digits, out_rows: int) -> np.ndarray:
+    """(out_rows, L) Toeplitz matrix of a digit COLUMN c, so that
+    T @ a == conv(a, c) truncated to out_rows (row i = sum_j c[i-j]*a[j])."""
+    c = np.asarray(digits, np.int64)
+    out = np.zeros((out_rows, L), np.int64)
+    for j in range(L):
+        hi = min(j + L, out_rows)
+        out[j:hi, j] = c[: hi - j]
+    return out
+
+
+def toep_consts(spec: F.FieldSpec) -> np.ndarray:
+    """MXU constant pack (3L, L) bf16: rows [0,L) = Toeplitz of mu truncated
+    mod R, rows [L,3L) = full Toeplitz of p. Digits are <= 255, hence exact
+    in bf16; matmul products <= 2^16 accumulate exactly in f32 (< 2^24).
+
+    This turns the two constant digit-convolutions of a Montgomery reduction
+    (x mu mod R, x p) into MXU matmuls — the VPU keeps only the variable
+    a*b convolution and the carry shrinks."""
+    out = np.zeros((3 * L, L), np.int64)
+    out[:L] = toeplitz_of(spec.mu_limbs, L)
+    out[L:] = toeplitz_of(spec.p_limbs, 2 * L)
+    return out.astype(np.float32)  # cast to bf16 at device upload
+
+
+def _dot_rows(tm, x):
+    """(R, L) bf16 constant @ (L, N) digit tile -> (R, N) int32 lazy digits.
+    Operands are exact in bf16 (digits <= 256); f32 accumulation is exact
+    (partial sums < 2^22 < 2^24)."""
+    return jax.lax.dot_general(
+        tm, x.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _mont_reduce_rows(consts, t):
+    """Montgomery reduction of lazy product digits t (2L, N), digits <= 256
+    (post-shrink). consts = (cols (33,2) int32, toep (>=3L, L) bf16).
+
+    MXU path: m = Toep_mu @ t_low (exact in bf16/f32), shrink; u = t +
+    Toep_p @ m. u is divisible by R and u < 2^512, so after a shrink its low
+    32 lazy digits represent a value in {0, R} (they are < 1.004*R): the
+    division by R is u_hi plus a single carry bit = any(u_low != 0) — no
+    full-width carry-lookahead over 65 rows."""
+    cols, toep = consts
+    p_ext = cols[:, 0:1]                     # (33, 1)
+    # m must be the CANONICAL digits of T*mu mod R: a lazy m could represent
+    # m_c + R (value < 1.004R), which shifts the result by p and breaks
+    # bit-exactness with ops/field.mont_mul. Carries out of row 31 drop on
+    # purpose (that is the mod-R truncation).
+    m = _ks_fix_rows(_shrink_rows(_dot_rows(toep[:L], t[:L])))
+    u = _shrink_rows(t + _dot_rows(toep[L:3 * L], m))     # <= 256
+    carry = jnp.any(u[:L] != 0, axis=0, keepdims=True).astype(jnp.int32)
+    res = jnp.pad(u[L:], ((0, 1), (0, 0)))                # (33, N)
+    res = res + jnp.pad(carry, ((0, L), (0, 0)))          # bump row 0
+    res = _ks_fix_rows(res)                               # canonical digits
+    return _cond_sub_rows(res, p_ext)[:L]
+
+
 def mont_mul_rows(consts, a, b):
     """Montgomery product on limb-major (32, N) canonical digit tiles.
 
     Pure jnp on VMEM-resident values — call INSIDE a pallas kernel (or any
-    fused context). Semantics identical to field.mont_mul. `consts` is the
-    field_consts() pack (33, 2)."""
+    fused context). Semantics identical to field.mont_mul (bit-exact same
+    canonical output). `consts` is either the legacy field_consts() pack
+    (33, 2) — all-VPU convolutions — or a (cols, toep) tuple with the
+    toep_consts() bf16 pack, which runs the two constant convolutions of
+    the reduction on the MXU (the fast path for all hot kernels)."""
+    if isinstance(consts, (tuple, list)):
+        t = _shrink_rows(_conv_rows(a, b, 2 * L))         # digits <= 256
+        return _mont_reduce_rows(consts, t)
     p_ext = consts[:, 0:1]     # (33, 1)
     mu = consts[:L, 1:2]       # (32, 1)
     p_l = p_ext[:L]
@@ -144,16 +222,27 @@ def mont_mul_rows(consts, a, b):
     return _cond_sub_rows(res, p_ext)[:L]
 
 
+def mont_mul_toep_rows(consts, tconst, a):
+    """Montgomery product of a (32, N) canonical tile with a CONSTANT whose
+    full conv Toeplitz (2L, L) bf16 is precomputed (e.g. the curve's 3b):
+    the entire product convolution runs on the MXU."""
+    return _mont_reduce_rows(consts, _shrink_rows(_dot_rows(tconst, a)))
+
+
 def add_rows(consts, a, b):
     """Field add on (32, N) canonical digit tiles."""
-    s = a + b
+    if isinstance(consts, (tuple, list)):
+        consts = consts[0]
+    s = a + b                                    # digits <= 510
     s = jnp.pad(s, ((0, 1), (0, 0)))
-    s = _ks_carry_rows(s)
+    s = _ks_fix_rows(_shrink_rows(s, rounds=1))  # one round suffices
     return _cond_sub_rows(s, consts[:, 0:1])[:L]
 
 
 def sub_rows(consts, a, b):
     """Field sub on (32, N) canonical digit tiles."""
+    if isinstance(consts, (tuple, list)):
+        consts = consts[0]
     s = a - b
     g = (s < 0).astype(jnp.int32)
     pf = (s == 0).astype(jnp.int32)
@@ -175,12 +264,13 @@ def sub_rows(consts, a, b):
 # ---------------------------------------------------------------------------
 
 
-def _mont_mul_kernel(c_ref, a_ref, b_ref, o_ref):
-    o_ref[:] = mont_mul_rows(c_ref[:], a_ref[:], b_ref[:])
+def _mont_mul_kernel(c_ref, t_ref, a_ref, b_ref, o_ref):
+    o_ref[:] = mont_mul_rows((c_ref[:], t_ref[:]), a_ref[:], b_ref[:])
 
 
 _MM_CACHE = {}
 _CONSTS_CACHE = {}
+_TOEP_CACHE = {}
 
 
 def field_consts_dev(spec: F.FieldSpec) -> jnp.ndarray:
@@ -195,6 +285,14 @@ def field_consts_dev(spec: F.FieldSpec) -> jnp.ndarray:
     return jnp.asarray(_CONSTS_CACHE[spec.name])
 
 
+def toep_consts_dev(spec: F.FieldSpec) -> jnp.ndarray:
+    """Device bf16 Toeplitz pack (3L, L) for the MXU reduction path (same
+    runtime-argument rule as field_consts_dev)."""
+    if spec.name not in _TOEP_CACHE:
+        _TOEP_CACHE[spec.name] = toep_consts(spec)
+    return jnp.asarray(_TOEP_CACHE[spec.name], jnp.bfloat16)
+
+
 def mont_mul_lm(spec: F.FieldSpec, a, b):
     """Montgomery mul over limb-major arrays (32, N); N % N_LANES == 0."""
     key = (spec.name, a.shape[1])
@@ -205,6 +303,8 @@ def mont_mul_lm(spec: F.FieldSpec, a, b):
             out_shape=jax.ShapeDtypeStruct((L, n), jnp.int32),
             grid=(n // N_LANES,),
             in_specs=[pl.BlockSpec((L + 1, 2), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((3 * L, L), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)]
             + [pl.BlockSpec((L, N_LANES), lambda i: (0, i),
                             memory_space=pltpu.VMEM)] * 2,
@@ -213,7 +313,8 @@ def mont_mul_lm(spec: F.FieldSpec, a, b):
             interpret=interpret(),
         )
         _MM_CACHE[key] = jax.jit(fn)
-    return _MM_CACHE[key](field_consts_dev(spec), a, b)
+    return _MM_CACHE[key](field_consts_dev(spec), toep_consts_dev(spec),
+                          a, b)
 
 
 def mont_mul_em(spec: F.FieldSpec, a, b):
