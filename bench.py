@@ -99,6 +99,94 @@ def bench_msm(prover, reps=6):
     return m / dt
 
 
+def bench_msm_phases(prover, reps=5):
+    """Per-phase Pallas-MSM breakdown at the comm_T shape (VERDICT r03 #2):
+    digits / bucket / merge / wsum plus the full chain, median ms each.
+    Distinct inputs per rep (see bench_msm)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hotproofs_tpu.ops import msm_pallas as MP
+    from hotproofs_tpu.ops import pallas_curve as PC
+
+    ivc = prover.ivc
+    spec = ivc.curve
+    m, bits = ivc.shape.n_cons, 256
+    px, py = ivc.ck.scaled_tm(m, bits)
+    b, lpw, w4, n_lanes = MP.plan(m, bits)
+    cc = PC.curve_consts_dev(spec)
+    ct = PC.curve_toep_dev(spec)
+
+    rng = np.random.RandomState(11)
+    scal = []
+    for _ in range(reps):
+        raw = rng.randint(0, 256, size=(m, 32)).astype(np.int32)
+        raw[:, -1] = 0
+        scal.append(jnp.asarray(raw))
+
+    def med(fn, inputs):
+        out = fn(*inputs[0])
+        jax.block_until_ready(out)  # compile
+        ts = []
+        for args in inputs:
+            t0 = time.time()
+            jax.block_until_ready(fn(*args))
+            ts.append(time.time() - t0)
+        return sorted(ts)[len(ts) // 2] * 1e3
+
+    dj = jax.jit(lambda s: MP.digits_tm(s, m, b, lpw, w4, n_lanes)[None])
+    digs = [dj(s) for s in scal]
+    bj = jax.jit(lambda d, x, y: MP._bucket_call(1, n_lanes, b)(
+        cc, ct, d, x, y))
+    bks = [bj(d, px, py) for d in digs]
+    mj = jax.jit(lambda bk: MP._merge_call(1, n_lanes)(cc, ct, bk))
+    reds = [mj(bk) for bk in bks]
+    wj = jax.jit(lambda r: MP._wsum_call(1)(cc, ct,
+                                            MP._identity_tiles(spec), r))
+    full = jax.jit(prover.ivc.ck.commit_pallas_fn(m, bits))
+    phases = {
+        "digits_ms": round(med(dj, [(s,) for s in scal]), 2),
+        "bucket_ms": round(med(bj, [(d, px, py) for d in digs]), 2),
+        "merge_ms": round(med(mj, [(bk,) for bk in bks]), 2),
+        "wsum_ms": round(med(wj, [(r,) for r in reds]), 2),
+        "full_ms": round(med(full, [(s, px, py) for s in scal]), 2),
+    }
+    print(f"MSM phases (comm_T {m} pts): {phases}", file=sys.stderr)
+    return phases
+
+
+def bench_recursive(prover, n_steps=4):
+    """Augmented-recursive path throughput (VERDICT r03 missing #1 / next
+    #4): prove an n_steps chunk prefix through RecursiveSNARK, report
+    steps/s (warm; the build+compile cost is reported separately)."""
+    import time as _t
+
+    from hotproofs_tpu.circuits import blake3_nova as nova_circ
+
+    data = bytes(64 * n_steps)
+    proof_data = prover._hash_with_path(data, 0)
+    sched = nova_circ.build_schedule(proof_data)
+    step_inputs = [{"m": list(s.m), "b": [s.b],
+                    "down_left": [s.down_left]} for s in sched.steps]
+    t0 = _t.time()
+    rec = prover.recursive
+    rp = rec.prove(sched.z0, len(sched.steps), step_inputs=step_inputs)
+    warm_s = _t.time() - t0
+    t0 = _t.time()
+    rp = rec.prove(sched.z0, len(sched.steps), step_inputs=step_inputs)
+    dt = _t.time() - t0
+    z_fin = rec.verify(rp)
+    root_words = [int.from_bytes(proof_data.root_hash[4 * i: 4 * i + 4],
+                                 "little") for i in range(8)]
+    assert z_fin[2:10] == root_words, "recursive proof wrong root"
+    sps = len(sched.steps) / dt
+    print(f"recursive: {len(sched.steps)} steps in {dt:.1f}s = "
+          f"{sps:.3f} steps/s (warmup {warm_s:.1f}s), verified",
+          file=sys.stderr)
+    return sps, warm_s
+
+
 def main():
     from hotproofs_tpu.utils.config import setup_jax
     setup_jax()  # default platform: the real TPU in this environment
@@ -144,6 +232,19 @@ def main():
     msm_pps = bench_msm(prover)
     print(f"MSM (comm_T shape, full width): {msm_pps / 1e6:.2f} M points/s",
           file=sys.stderr)
+
+    try:
+        msm_phases = bench_msm_phases(prover)
+    except Exception as e:  # phases are diagnostics; never fail the bench
+        print(f"msm phase breakdown failed: {e}", file=sys.stderr)
+        msm_phases = {}
+
+    try:
+        rec_sps, rec_warm = bench_recursive(prover)
+    except Exception as e:
+        print(f"recursive bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        rec_sps, rec_warm = None, None
 
     # Lockstep multi-chunk proving: K chunk challenges against a 16 KiB
     # file (K chains x (16 blocks + tree path) folds), one chip. Warmup
@@ -201,6 +302,11 @@ def main():
             "lockstep_folds": n_folds_many,
             "lockstep_verify_failed": lockstep_verify_failed,
             "msm_points_per_sec": round(msm_pps, 1),
+            "msm_phases": msm_phases,
+            "recursive_steps_per_sec": (round(rec_sps, 4)
+                                        if rec_sps is not None else None),
+            "recursive_warmup_s": (round(rec_warm, 1)
+                                   if rec_warm is not None else None),
             "witnesses_per_sec_batch4096": round(wps, 1),
             "constraints_per_sec": round(wps * n_cons, 1),
             "warmup_s": round(t_warm, 2),

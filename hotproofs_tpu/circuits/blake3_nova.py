@@ -70,11 +70,18 @@ def declare_step_inputs(ctx):
     return (m_in, b_in, dl_in)
 
 
-def nova_step_body(ctx, z_in, extra, d_flags: int = 0):
+def nova_step_body(ctx, z_in, extra, d_flags: int = 0,
+                   depth_bits: int = 8):
     """The BLAKE3 chain-step transition as a pure gadget body:
     z_in values + (m, b, down_left) -> the 15 z_out expressions.
     Factored out of nova_step so circuits/nova_augmented.py can embed the
-    SAME logic as the F of the recursive IVC (f_gadget)."""
+    SAME logic as the F of the recursive IVC (f_gadget).
+
+    depth_bits: width of the depth/leaf_depth range decompositions.
+    8 matches the reference (Num2Bits(8), blake3_nova.circom:25-29 — trees
+    to depth 255); wider widths admit DEEPER paths, i.e. longer single
+    chains (depth_bits=16 covers BASELINE config 5's 2^16-step chain).
+    Strictly a superset: every 8-bit-valid statement stays valid."""
     m_in, b_in, dl_in = extra
     n_blocks, block_count = z_in[0], z_in[1]
     h_words = list(z_in[2:10])
@@ -85,13 +92,14 @@ def nova_step_body(ctx, z_in, extra, d_flags: int = 0):
     down_left = dl_in[0]
 
     with ctx.scope("depth_check"):
-        # Range checks mirroring Num2Bits(8) (blake3_nova.circom:25-29).
-        g.tobits(ctx, depth, 8, name="depth_bits")
-        g.tobits(ctx, leaf_depth, 8, name="leaf_depth_bits")
+        # Range checks mirroring Num2Bits(8) (blake3_nova.circom:25-29),
+        # width-parameterised (see depth_bits above).
+        g.tobits(ctx, depth, depth_bits, name="depth_bits")
+        g.tobits(ctx, leaf_depth, depth_bits, name="leaf_depth_bits")
         is_root = g.is_zero(ctx, depth)
-        is_parent = g.less_than(ctx, depth, leaf_depth - 1, 8)
+        is_parent = g.less_than(ctx, depth, leaf_depth - 1, depth_bits)
         # exceed_depth === 0 (:41-44) ⇔ depth < leaf_depth.
-        in_range = g.less_than(ctx, depth, leaf_depth, 8)
+        in_range = g.less_than(ctx, depth, leaf_depth, depth_bits)
         ctx.enforce(0, 0, in_range - 1)
 
     with ctx.scope("flags"):
@@ -161,21 +169,23 @@ def nova_step_body(ctx, z_in, extra, d_flags: int = 0):
                leaf_depth])
 
 
-def nova_step(ctx, d_flags: int = 0) -> None:
+def nova_step(ctx, d_flags: int = 0, depth_bits: int = 8) -> None:
     """Build/eval one step. Witness layout: [1, z_out(15), z_in(15),
     m(16), b(1), down_left(1), aux...]."""
     z_out = ctx.declare_output("z_out", IO_ARITY)
     z_in = ctx.declare_input("z_in", IO_ARITY, public=True)
     extra = declare_step_inputs(ctx)
-    outs = nova_step_body(ctx, z_in, extra, d_flags)
+    outs = nova_step_body(ctx, z_in, extra, d_flags, depth_bits)
     for o, v in zip(z_out, outs):
         ctx.bind(o, v)
 
 
 @lru_cache(maxsize=None)
-def get_nova_step_circuit(modulus: int = VESTA_PRIME, d_flags: int = 0):
+def get_nova_step_circuit(modulus: int = VESTA_PRIME, d_flags: int = 0,
+                          depth_bits: int = 8):
     """Compile (once) and return (R1CS, layout) for the step circuit."""
-    return compile_circuit(lambda ctx: nova_step(ctx, d_flags), modulus)
+    return compile_circuit(
+        lambda ctx: nova_step(ctx, d_flags, depth_bits), modulus)
 
 
 # ---------------------------------------------------------------------------
@@ -248,11 +258,12 @@ def build_schedule(proof: HashProof) -> StepSchedule:
 
 
 def eval_step_witness(z_in: Sequence[int], step: StepInputs,
-                      modulus: int = VESTA_PRIME, d_flags: int = 0):
+                      modulus: int = VESTA_PRIME, d_flags: int = 0,
+                      depth_bits: int = 8):
     """Host-side witness for one step; returns (witness_vector, z_out)."""
-    r1cs, layout = get_nova_step_circuit(modulus, d_flags)
+    r1cs, layout = get_nova_step_circuit(modulus, d_flags, depth_bits)
     w = eval_witness(
-        lambda ctx: nova_step(ctx, d_flags), layout,
+        lambda ctx: nova_step(ctx, d_flags, depth_bits), layout,
         {"z_in": list(z_in), "m": step.m, "b": [step.b],
          "down_left": [step.down_left]},
     )

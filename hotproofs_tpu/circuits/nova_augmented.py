@@ -102,17 +102,19 @@ def _check_point(ctx, b: int, pt, name: str) -> None:
 
 
 def canonical_bits(ctx, v: Value, name: str = "cb") -> List[Value]:
-    """255-bit LE decomposition of a native element, alias-checked < p
-    (two-half lexicographic comparison), so the bitstring is the unique
-    canonical representation. Returns all 255 bits."""
+    """n_bits LE decomposition of a native element (n_bits = |p|, 255 for
+    Pasta / 254 for BN254-Grumpkin), alias-checked < p (two-half
+    lexicographic comparison), so the bitstring is the unique canonical
+    representation. Returns all n_bits bits."""
     p = ctx.p
-    assert p.bit_length() == 255
-    bits = g.tobits(ctx, v, 255, name=name)
+    n_bits = p.bit_length()
+    assert n_bits >= CHALLENGE_BITS + 1, "field too small for challenges"
+    bits = g.tobits(ctx, v, n_bits, name=name)
     lo = sum_pow2(bits[:128])
     hi = sum_pow2(bits[128:])
     p_lo = p & ((1 << 128) - 1)
     p_hi = p >> 128
-    hi_lt = g.less_than(ctx, hi, p_hi, 128)
+    hi_lt = g.less_than(ctx, hi, p_hi, n_bits - 128)
     hi_eq = g.is_equal(ctx, hi, p_hi)
     lo_lt = g.less_than(ctx, lo, p_lo, 129)
     both = g.mul(ctx, hi_eq, lo_lt, name=f"{name}_and")

@@ -165,12 +165,14 @@ def batched_compression_witness(h: jnp.ndarray, m: jnp.ndarray,
 
 def batched_nova_witness(z_in: jnp.ndarray, m: jnp.ndarray, b: jnp.ndarray,
                          down_left: jnp.ndarray,
-                         d_flags: int = 0) -> jnp.ndarray:
+                         d_flags: int = 0,
+                         depth_bits: int = 8) -> jnp.ndarray:
     """Witness matrix (B, n_signals) uint32 for the Nova step circuit.
 
     z_in: (B, 15) uint32 (all z components fit u32 by construction);
     m: (B, 16); b, down_left: (B,). The three IsZero inverse positions carry
-    placeholder values (patch via nova_big_positions + host inverses)."""
+    placeholder values (patch via nova_big_positions + host inverses).
+    depth_bits must match the circuit's (blake3_nova.nova_step_body)."""
     z_in, m = z_in.astype(U32), m.astype(U32)
     b, down_left = b.astype(U32), down_left.astype(U32)
     B = z_in.shape[0]
@@ -183,16 +185,17 @@ def batched_nova_witness(z_in: jnp.ndarray, m: jnp.ndarray, b: jnp.ndarray,
     leaf_depth = z_in[:, 14]
 
     # depth_check scope.
-    em.bits(depth, 8)
-    em.bits(leaf_depth, 8)
+    two_pow_d = U32(1 << depth_bits)
+    em.bits(depth, depth_bits)
+    em.bits(leaf_depth, depth_bits)
     is_root = (depth == 0).astype(U32)
     em.one(jnp.zeros((B,), U32))  # inv placeholder (is_zero(depth))
     em.one(is_root)
-    ltv = depth + U32(256) - (leaf_depth - U32(1))
-    em.bits(ltv, 9)
-    is_parent = U32(1) - ((ltv >> U32(8)) & U32(1))
-    ltv2 = depth + U32(256) - leaf_depth
-    em.bits(ltv2, 9)
+    ltv = depth + two_pow_d - (leaf_depth - U32(1))
+    em.bits(ltv, depth_bits + 1)
+    is_parent = U32(1) - ((ltv >> U32(depth_bits)) & U32(1))
+    ltv2 = depth + two_pow_d - leaf_depth
+    em.bits(ltv2, depth_bits + 1)
 
     # flags scope.
     not_parent = U32(1) - is_parent
@@ -267,9 +270,10 @@ def batched_nova_witness(z_in: jnp.ndarray, m: jnp.ndarray, b: jnp.ndarray,
 
 
 @lru_cache(maxsize=None)
-def nova_big_positions(modulus: int = VESTA_PRIME) -> np.ndarray:
+def nova_big_positions(modulus: int = VESTA_PRIME,
+                       depth_bits: int = 8) -> np.ndarray:
     """Signal indices of the three full-width IsZero inverse hints."""
-    _, layout = get_nova_step_circuit(modulus, 0)
+    _, layout = get_nova_step_circuit(modulus, 0, depth_bits)
     idx = [seg.start for seg in layout.segments
            if seg.role == "aux" and seg.name.endswith("/inv")]
     assert len(idx) == 3
@@ -294,9 +298,9 @@ def jitted_generator():
 
 
 @lru_cache(maxsize=None)
-def jitted_nova_generator(d_flags: int = 0):
+def jitted_nova_generator(d_flags: int = 0, depth_bits: int = 8):
     return jax.jit(lambda z, m, b, dl: batched_nova_witness(
-        z, m, b, dl, d_flags))
+        z, m, b, dl, d_flags, depth_bits))
 
 
 def expected_n_signals(modulus: int = VESTA_PRIME) -> int:

@@ -276,3 +276,44 @@ def hash_with_path(data: bytes, chunk_idx: int) -> HashProof:
         leaf_depth=len(path) + 1,
         root_hash=root,
     )
+
+
+def synthetic_deep_path_proof(chunk_bytes: bytes, n_parents: int,
+                              seed: int = 0) -> HashProof:
+    """A valid HashProof whose leaf sits `n_parents` levels below the root
+    of a SYNTHETIC tree: sibling CVs are random, the path hashes up exactly
+    as BLAKE3 parents do, and the resulting statement ("this chunk's CV is
+    a depth-n_parents descendant of root R") is fully verified by the step
+    circuit — only the tree AROUND the path is made up.
+
+    Purpose: long-single-chain runs (BASELINE config 5's 2^16-step chain,
+    tools/longchain_deep.py). A real file's path depth grows with
+    log2(size), so a 4096-step chain would need a 2^4080-chunk file; the
+    fold/verify work per step is identical either way, and every
+    compression in the chain is real."""
+    import numpy as _np
+
+    assert 1 <= len(chunk_bytes) <= 1024
+    rng = _np.random.RandomState(seed)
+    cv = chunk_chaining_value(chunk_bytes, 0, is_root=(n_parents == 0))
+    path: List[PathNode] = []
+    for i in range(n_parents):
+        sibling = [int(v) for v in rng.randint(0, 1 << 32, size=8,
+                                               dtype=_np.uint64)]
+        down_left = bool(rng.randint(0, 2))
+        is_root = i == n_parents - 1
+        if down_left:
+            cv = parent_cv(cv, sibling, is_root)
+        else:
+            cv = parent_cv(sibling, cv, is_root)
+        path.append(PathNode(down_left=down_left, sibling_cv=sibling))
+    path.reverse()  # root-side first, like hash_with_path
+    root = b"".join(w.to_bytes(4, "little") for w in cv)
+    return HashProof(
+        chunk_idx=0,
+        parent_path=path,
+        chunk_bytes=bytes(chunk_bytes),
+        total_depth=n_parents + 1,
+        leaf_depth=n_parents + 1,
+        root_hash=root,
+    )

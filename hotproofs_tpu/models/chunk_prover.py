@@ -52,10 +52,10 @@ def _big_witness_indices(layout, n_io: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _build_stack(curve_name: str = "pallas"):
+def _build_stack(curve_name: str = "pallas", depth_bits: int = 8):
     curve = C.CURVES[curve_name]
     modulus = curve.scalar.p
-    r1cs, layout = nova_circ.get_nova_step_circuit(modulus, 0)
+    r1cs, layout = nova_circ.get_nova_step_circuit(modulus, 0, depth_bits)
     shape = ShapeDevice.from_dsl(r1cs)
     # Power-of-two key size: the Spartan IPA openings fold the generator
     # vector in halves (nova/spartan.py); commitments only use a prefix, so
@@ -64,7 +64,9 @@ def _build_stack(curve_name: str = "pallas"):
     n = 1 << (n - 1).bit_length()
     ck = CommitmentKey.create(curve, b"blake3-nova", n)
     big_idx = _big_witness_indices(layout, shape.n_io)
-    ivc = IVC(shape, curve, ck, big_idx, label=b"blake3-chunk")
+    label = b"blake3-chunk" if depth_bits == 8 \
+        else b"blake3-chunk-d%d" % depth_bits
+    ivc = IVC(shape, curve, ck, big_idx, label=label)
     return ivc, layout, modulus
 
 
@@ -246,8 +248,14 @@ def verify_with_vk(vk_path: str, proof: "ChunkProof",
 class ChunkProver:
     """prove/verify pair for BLAKE3 chunk possession (Pasta by default)."""
 
-    def __init__(self, curve: str = "pallas"):
-        self.ivc, self.layout, self.modulus = _build_stack(curve)
+    def __init__(self, curve: str = "pallas", depth_bits: int = 8):
+        """depth_bits widens the circuit's depth decompositions past the
+        reference's 8 bits (tree depth 255) — depth_bits=13 admits
+        4096-step single chains (tools/longchain_deep.py), 16 covers
+        BASELINE config 5's 2^16-step chain. Proofs are per-(curve,
+        depth_bits) circuit instances (distinct pp digests)."""
+        self.depth_bits = depth_bits
+        self.ivc, self.layout, self.modulus = _build_stack(curve, depth_bits)
         self._spartan = None
         self._recursive = None
 
@@ -277,23 +285,20 @@ class ChunkProver:
         )
         return proof_data.root_hash, chunk_proof
 
-    def _device_witness_chain(self, proof_data):
-        """Precompute (zs, sched, canon, X_host) for the whole chain: all
-        step witnesses in ONE device kernel call (the z chain is
-        host-precomputable from the hash chain alone — SURVEY.md §2c #3),
-        expanded to canonical limb vectors with inverse hints patched."""
+    def _witness_slice_canon(self, zs, sched, a: int, b: int):
+        """Device-generate step witnesses [a, b) of a precomputed chain and
+        expand to canonical limb vectors (b-a, n_vars, 32) with the
+        full-width inverse hints patched. Returns a DEVICE array."""
         import jax.numpy as jnp
         from ..circuits import witness_jax as WJ
 
-        zs, sched = nova_circ.z_chain(proof_data, self.modulus)
-        n = len(sched.steps)
-        z_b = np.array(zs[:-1], np.uint32)
-        m_b = np.array([s.m for s in sched.steps], np.uint32)
-        b_b = np.array([s.b for s in sched.steps], np.uint32)
-        dl_b = np.array([s.down_left for s in sched.steps], np.uint32)
-        w_u32 = WJ.jitted_nova_generator(0)(
+        z_b = np.array(zs[a:b], np.uint32)
+        m_b = np.array([s.m for s in sched.steps[a:b]], np.uint32)
+        b_b = np.array([s.b for s in sched.steps[a:b]], np.uint32)
+        dl_b = np.array([s.down_left for s in sched.steps[a:b]], np.uint32)
+        w_u32 = WJ.jitted_nova_generator(0, self.depth_bits)(
             jnp.asarray(z_b), jnp.asarray(m_b), jnp.asarray(b_b),
-            jnp.asarray(dl_b))                       # (N, n_signals) u32
+            jnp.asarray(dl_b))                       # (b-a, n_signals) u32
 
         # Expand uint32 signals to canonical limb vectors on device.
         from ..ops import field as F
@@ -304,16 +309,40 @@ class ChunkProver:
             [limbs, jnp.zeros(w_u32.shape + (F.N_LIMBS - 4,), jnp.int32)],
             axis=-1)
         # Patch the three full-width inverse hints per step.
-        big_pos = WJ.nova_big_positions(self.modulus)
-        spec = self.ivc.shape.field
-        inv_limbs = np.zeros((n, 3, F.N_LIMBS), np.int32)
-        for i, z in enumerate(zs[:-1]):
+        big_pos = WJ.nova_big_positions(self.modulus, self.depth_bits)
+        inv_limbs = np.zeros((b - a, 3, F.N_LIMBS), np.int32)
+        for i, z in enumerate(zs[a:b]):
             for j, v in enumerate(WJ.nova_inverse_values(
                     z[11], z[1], z[0], self.modulus)):
                 inv_limbs[i, j] = F.int_to_limbs(v)
-        canon = canon.at[:, jnp.asarray(big_pos), :].set(
+        return canon.at[:, jnp.asarray(big_pos), :].set(
             jnp.asarray(inv_limbs))
 
+    def _device_witness_chain(self, proof_data):
+        """Precompute (zs, sched, canon, X_host) for the whole chain: all
+        step witnesses in ONE device kernel call (the z chain is
+        host-precomputable from the hash chain alone — SURVEY.md §2c #3),
+        expanded to canonical limb vectors with inverse hints patched."""
+        zs, sched = nova_circ.z_chain(proof_data, self.modulus)
+        n = len(sched.steps)
+        canon = self._witness_slice_canon(zs, sched, 0, n)
+        X_host = [list(zs[i + 1]) + list(zs[i]) for i in range(n)]
+        return zs, sched, canon, X_host
+
+    def _host_witness_chain(self, proof_data, slice_steps: int = 512):
+        """Like _device_witness_chain but returns canon as HOST numpy,
+        generated in device slices of `slice_steps` — for chains too long
+        for the whole (N, n_vars, 32) tensor to live in HBM (a 4096-step
+        chain's canon is ~8.5 GB; tools/longchain_deep.py). Peak HBM is one
+        slice; prove paths upload per-chunk slices on demand."""
+        zs, sched = nova_circ.z_chain(proof_data, self.modulus)
+        n = len(sched.steps)
+        parts = []
+        for a in range(0, n, slice_steps):
+            b = min(n, a + slice_steps)
+            parts.append(np.asarray(self._witness_slice_canon(
+                zs, sched, a, b)))
+        canon = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         X_host = [list(zs[i + 1]) + list(zs[i]) for i in range(n)]
         return zs, sched, canon, X_host
 
@@ -363,7 +392,8 @@ class ChunkProver:
         def witness_iter():
             nonlocal z
             for step in sched.steps:
-                w, z_out = nova_circ.eval_step_witness(z, step, self.modulus)
+                w, z_out = nova_circ.eval_step_witness(
+                    z, step, self.modulus, depth_bits=self.depth_bits)
                 z = z_out
                 yield w
 
@@ -435,14 +465,15 @@ class ChunkProver:
             cycle = cycles[self.ivc.curve.name]
 
             def f_gadget(ctx, z_prev, extra):
-                return nova_circ.nova_step_body(ctx, z_prev, extra, 0)
+                return nova_circ.nova_step_body(ctx, z_prev, extra, 0,
+                                                self.depth_bits)
 
             def f_host(z, extra):
                 step = nova_circ.StepInputs(
                     m=tuple(extra["m"]), b=int(extra["b"][0]),
                     down_left=int(extra["down_left"][0]))
                 _, z_out = nova_circ.eval_step_witness(
-                    z, step, self.modulus)
+                    z, step, self.modulus, depth_bits=self.depth_bits)
                 return z_out
 
             self._recursive = RecursiveSNARK(

@@ -179,12 +179,16 @@ class IVC:
 
     def __init__(self, shape: ShapeDevice, curve: C.CurveSpec,
                  ck: CommitmentKey, big_wit_idx: Optional[np.ndarray] = None,
-                 label: bytes = b"ivc"):
+                 label: bytes = b"ivc", pspec=None):
         """big_wit_idx: witness positions that may exceed 2^SMALL_BITS.
         None disables the small-scalar fast path (all commits full-width);
         an array enables it — every commit then runs a device-side range
         check that the remaining witness values fit SMALL_BITS (a silent
-        high-window truncation would produce a wrong commitment)."""
+        high-window truncation would produce a wrong commitment).
+
+        pspec: explicit Poseidon transcript spec (ops/poseidon.PoseidonSpec).
+        None selects the process-wide spec (HOTPROOFS_POSEIDON); a vk-loaded
+        verifier passes the vk's recorded parameterisation (nova/vk.py)."""
         assert curve.scalar.p == shape.field.p, \
             "commitment curve group order must equal circuit field"
         self.shape = shape
@@ -192,6 +196,7 @@ class IVC:
         self.ck = ck
         self.big_wit_idx = big_wit_idx
         self.label = label
+        self.pspec = pspec
         # Bind the FULL shape: values AND sparsity patterns of all three
         # matrices, plus dimensions (two circuits differing only in B/C
         # structure must not share a digest).
@@ -218,7 +223,8 @@ class IVC:
 
     def _new_transcript(self, z0: Sequence[int]) -> Transcript:
         spec = self.shape.field
-        tr = Transcript(spec.name + "", self.label, self.pp_digest)
+        tr = Transcript(spec.name + "", self.label, self.pp_digest,
+                        pspec=self.pspec)
         tr.absorb_scalars([v % spec.p for v in z0])
         return tr
 
@@ -267,18 +273,24 @@ class IVC:
     def _commit_T_pl(self, t_canon) -> C.Point:
         """Cross-term commit via the standalone pallas MSM program (shared
         across the whole process — embedding it into fused programs would
-        cost another multi-minute TPU compile per embedding)."""
-        return self.ck.commit_pallas(t_canon, 256)
+        cost another multi-minute TPU compile per embedding). Output limbs
+        are CANONICAL (from-Mont runs inside the program): the per-fold
+        sync then uses pt_to_affine_host_canon, zero extra dispatches
+        (each pt_to_affine_host dispatch measured ~185 ms through this
+        environment's compile relay — tools/profile_lockstep_phases.py)."""
+        return self.ck.commit_pallas(t_canon, 256, canonical=True)
 
     def _commit_W_steps_pl(self, w_batch) -> C.Point:
         """W commits of a (J, n_wit, 32) canonical batch as ONE batched
-        pallas MSM dispatch (msm_pallas_many); returns stacked projective
-        (J, 32) x3. Round 3 dispatched J standalone programs here; profiling
-        found ~27 ms fixed overhead per dispatch (profile_msm_phases.py), so
-        one J-job program saves (J-1) x 27 ms per chunk."""
+        pallas MSM dispatch (msm_pallas_many); returns stacked CANONICAL
+        projective (J, 32) x3 (see _commit_T_pl on why canonical). Round 3
+        dispatched J standalone programs here; profiling found ~27 ms fixed
+        overhead per dispatch (profile_msm_phases.py), so one J-job program
+        saves (J-1) x 27 ms per chunk."""
         if self.big_wit_idx is None:
-            return self.ck.commit_many_pallas(w_batch, 256)
-        return self.ck.commit_many_split_pallas(w_batch, self.big_wit_idx)
+            return self.ck.commit_many_pallas(w_batch, 256, canonical=True)
+        return self.ck.commit_many_split_pallas(w_batch, self.big_wit_idx,
+                                                canonical=True)
 
     def _finish_proof(self, z0, steps, comm_Ts, acc_dev) -> IVCProof:
         spec = self.shape.field
@@ -421,9 +433,13 @@ class IVC:
         # host work hide behind the MSM instead of serializing with it.
         use_pl = pallas_msm_enabled()
         if mesh is not None:
+            # prove_batch's mesh strategy is ONE chain with point-sharded
+            # XLA MSMs; the pallas fast path scales across chips via
+            # chain-per-chip lockstep instead (prove_lockstep(mesh=...)).
             assert not use_pl, \
-                "mesh-sharded proving uses the XLA MSM path " \
-                "(set HOTPROOFS_PALLAS_MSM=0)"
+                "prove_batch(mesh=...) is the point-sharded XLA path " \
+                "(set HOTPROOFS_PALLAS_MSM=0); for the pallas fast path " \
+                "use prove_lockstep(mesh=...) — chain-per-chip sharding"
         if use_pl:
             # Pallas path: the fused program folds + computes the cross
             # term; the commit dispatches the SHARED standalone MSM program
@@ -559,9 +575,10 @@ class IVC:
             az_b, bz_b, cz_b = matvec_b(z_mont)
             if use_pl:
                 comm_W_b = self._commit_W_steps_pl(sl[:, 1 + n_io:, :])
+                comm_W_aff = C.pt_to_affine_host_canon(curve, comm_W_b)
             else:
                 comm_W_b = commit_b(sl[:, 1 + n_io:, :], *commW_args)
-            comm_W_aff = C.pt_to_affine_host(curve, comm_W_b)
+                comm_W_aff = C.pt_to_affine_host(curve, comm_W_b)
 
             for k in range(take):
                 i = done + k
@@ -600,7 +617,9 @@ class IVC:
                         pend = None
 
                 self._fold_challenge_prefix(tr, acc_inst, X_i, comm_W)
-                comm_T = C.pt_to_affine_host(
+                aff1 = (C.pt_to_affine_host_canon if use_pl
+                        else C.pt_to_affine_host)
+                comm_T = aff1(
                     curve, tuple(x[None] for x in comm_T_dev))[0]   # sync
                 tr.absorb_point(comm_T)
                 r = tr.challenge()
@@ -633,7 +652,9 @@ class IVC:
 
     # -- lockstep multi-chain fast path --------------------------------------
     def prove_lockstep(self, chains, chunk_steps: int = 16,
-                       progress: bool = False) -> List[IVCProof]:
+                       progress: bool = False,
+                       mesh=None, mesh_axis: str = "chain"
+                       ) -> List[IVCProof]:
         """Fold K independent chains in LOCKSTEP on one device.
 
         chains: list of (z0, canon (N_k, n_vars, 32), X_host) triples —
@@ -651,6 +672,14 @@ class IVC:
         chunks, or segments of one long chain — parallel/segments.py), and
         each keeps its own Fiat–Shamir transcript, so the K proofs are
         BIT-IDENTICAL to K separate prove_batch runs.
+
+        mesh: optional Mesh with a `mesh_axis` axis — CHAIN-PER-CHIP
+        sharding (SURVEY.md §2c): the K-job batched pallas MSMs and the
+        K-wide fused fold shard the chain axis across devices, each device
+        owning K/D whole chains against replicated bases. This is the
+        official multi-chip strategy for the pallas fast path (the
+        point-sharded XLA MSM of prove_batch(mesh=...) is the alternative
+        for K=1); proof bytes are mesh-independent.
         """
         shape, spec, curve = self.shape, self.shape.field, self.curve
         n_io = shape.n_io
@@ -673,21 +702,37 @@ class IVC:
         comm_Ts_k: List[List[Affine]] = [[] for _ in range(K)]
 
         use_pl = pallas_msm_enabled()
+        if mesh is not None:
+            assert use_pl, \
+                "mesh lockstep is the pallas chain-per-chip path " \
+                "(HOTPROOFS_PALLAS_MSM); use prove_batch(mesh=...) for " \
+                "the point-sharded XLA MSM"
+            D = mesh.shape[mesh_axis]
+            assert K % D == 0, f"K={K} must divide by mesh axis {D}"
         if use_pl:
-            # Pallas path: the K-wide vmap covers only the fold+cross-term
-            # (pure elementwise XLA); the K comm_T MSMs dispatch the SHARED
-            # standalone pallas program per chain (compute-bound, so a
-            # K-wide kernel would not be faster, and embedding it would
-            # cost another multi-minute compile + K x HBM accumulators —
-            # the round-2 RESOURCE_EXHAUSTED).
+            # Pallas path: the fused fold+cross-term is K-wide vmapped;
+            # the K comm_T MSMs run as ONE K-job batched pallas dispatch
+            # (commit_many_pallas), sharded chain-per-chip when a mesh is
+            # given.
             def _fused(acc, pW2, paz, pbz, pcz, pT, r_prev, az, bz, cz, u):
                 acc = NF.fold_witness(spec, acc, pW2, paz, pbz, pcz, pT,
                                       r_prev)
                 T = NF.cross_term(spec, acc, az, bz, cz, u)
                 return acc, T, F.from_mont(spec, T)
 
-            fused_v = self._jit(("fused_lockstep_pl", K),
-                                jax.vmap(_fused, in_axes=(0,) * 11))
+            if mesh is None:
+                fused_v = self._jit(("fused_lockstep_pl", K),
+                                    jax.vmap(_fused, in_axes=(0,) * 11))
+            else:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as PS
+                ksh = NamedSharding(mesh, PS(mesh_axis))
+                mkey = ("fused_lockstep_pl_mesh", K, id(mesh))
+                if mkey not in self._jit_cache:
+                    self._jit_cache[mkey] = jax.jit(
+                        jax.vmap(_fused, in_axes=(0,) * 11),
+                        in_shardings=(ksh,) * 11, out_shardings=ksh)
+                fused_v = self._jit_cache[mkey]
             commT_args = ()
         else:
             commitT_fn, commT_args = self._commT_setup()
@@ -760,10 +805,13 @@ class IVC:
             # never recorded).
             rows = []
             for c in range(K):
-                canon = jnp.asarray(chains[c][1])
                 a = min(done, lens[c])
                 b = min(done + take, lens[c])
-                part = canon[a:b]
+                # Slice BEFORE device transfer: chains[c][1] may be a large
+                # host array (512-step segments of a 4096-step chain are
+                # ~1 GB each) — uploading only the chunk slice keeps H2D
+                # traffic at one copy of the witness data total.
+                part = jnp.asarray(chains[c][1][a:b])
                 n_pad = chunk_steps - (b - a)
                 if n_pad:
                     part = jnp.concatenate(
@@ -799,11 +847,17 @@ class IVC:
             # blocking affine conversion.
             w_all = jnp.stack([rows[c][:, 1 + n_io:, :] for c in range(K)])
             w_jobs = w_all.reshape(K * chunk_steps, shape.n_wit, F.N_LIMBS)
-            if use_pl:
+            if use_pl and mesh is not None:
+                cw_flat = self.ck.commit_many_pallas_mesh(
+                    w_jobs, mesh, axis=mesh_axis, canonical=True,
+                    big_idx=self.big_wit_idx)
+                aff_flat = C.pt_to_affine_host_canon(curve, cw_flat)
+            elif use_pl:
                 cw_flat = self._commit_W_steps_pl(w_jobs)
+                aff_flat = C.pt_to_affine_host_canon(curve, cw_flat)
             else:
                 cw_flat = commit_b(w_jobs, *commW_args)
-            aff_flat = C.pt_to_affine_host(curve, cw_flat)
+                aff_flat = C.pt_to_affine_host(curve, cw_flat)
             commW_aff = [aff_flat[c * chunk_steps: (c + 1) * chunk_steps]
                          for c in range(K)]
 
@@ -830,10 +884,14 @@ class IVC:
                     acc_dev, pW2, paz, pbz, pcz, pT, pr,
                     az_b[:, k], bz_b[:, k], cz_b[:, k],
                     jnp.asarray(u_rows), *commT_args)
-                if use_pl:
+                if use_pl and mesh is not None:
+                    comm_T_dev = self.ck.commit_many_pallas_mesh(
+                        last, mesh, 256, axis=mesh_axis, canonical=True)
+                elif use_pl:
                     # ONE K-job MSM dispatch (VERDICT r03 #1): round 3
                     # dispatched K standalone comm_T programs per step.
-                    comm_T_dev = self.ck.commit_many_pallas(last, 256)
+                    comm_T_dev = self.ck.commit_many_pallas(last, 256,
+                                                            canonical=True)
                 else:
                     comm_T_dev = last
                 # Host work overlapping the device launch: fold the pending
@@ -845,7 +903,9 @@ class IVC:
                     self._fold_challenge_prefix(
                         trs[c], acc_insts[c], X_i[c],
                         commW_aff[c][k])
-                comm_T_aff = C.pt_to_affine_host(curve, comm_T_dev)  # sync
+                comm_T_aff = (C.pt_to_affine_host_canon(curve, comm_T_dev)
+                              if use_pl else
+                              C.pt_to_affine_host(curve, comm_T_dev))  # sync
                 for c in live:
                     comm_W = commW_aff[c][k]
                     trs[c].absorb_point(comm_T_aff[c])

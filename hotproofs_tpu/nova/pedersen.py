@@ -58,6 +58,7 @@ class CommitmentKey:
         self._jit_cache = {}
         self._scaled = {}  # (m, windows) -> (W4, m, limbs) per coordinate
         self._scaled_tm_cache = {}  # (m, windows) -> (px_tm, py_tm) affine
+        self._scaled_big_cache = {}  # tuple(big_idx) -> (W4, nbig) projective
 
     def scaled(self, m: int, max_bits: int) -> C.Point:
         """Pre-scaled generators 16^w * G_j for the first m points — the
@@ -131,15 +132,55 @@ class CommitmentKey:
         self._scaled_tm_cache[key] = out
         return out
 
-    def commit_pallas_fn(self, m: int, max_bits: int = 256):
+    def scaled_big(self, big_idx: np.ndarray) -> C.Point:
+        """Pre-scaled (W4, nbig) projective Montgomery bases for the few
+        full-width witness positions, host-computed once. Passing these to
+        M.msm(scaled=...) removes its 256-step on-the-fly doubling scan —
+        measured ~500 ms per batched split commit when scaled on the fly
+        (tools/profile_lockstep_phases.py: split vs small-only J=128)."""
+        key = tuple(int(v) for v in big_idx)
+        if key in self._scaled_big_cache:
+            return self._scaled_big_cache[key]
+        f = self.spec.base
+        rinv = pow(f.r_mod_p, f.p - 2, f.p)
+        w4 = M.n_windows4(256)
+        nb = len(big_idx)
+        out = np.zeros((3, w4, nb, F.N_LIMBS), np.int32)
+        one = F.int_to_limbs(f.r_mod_p)
+        for i, gi in enumerate(big_idx):
+            x = F.limbs_to_int(self.gens_affine[int(gi), 0]) * rinv % f.p
+            y = F.limbs_to_int(self.gens_affine[int(gi), 1]) * rinv % f.p
+            pt = (x, y)
+            for w in range(w4):
+                assert pt is not None
+                out[0, w, i] = F.int_to_limbs(pt[0] * f.r_mod_p % f.p)
+                out[1, w, i] = F.int_to_limbs(pt[1] * f.r_mod_p % f.p)
+                out[2, w, i] = one
+                for _ in range(4):
+                    pt = C.host_add(self.spec, pt, pt)
+        res = tuple(jnp.asarray(out[i]) for i in range(3))
+        self._scaled_big_cache[key] = res
+        return res
+
+    def _maybe_canon(self, pt: C.Point, canonical: bool) -> C.Point:
+        """Convert projective Montgomery output to canonical limbs INSIDE
+        the producing jit (callers then use pt_to_affine_host_canon: zero
+        extra device dispatches on the per-fold sync path)."""
+        if not canonical:
+            return pt
+        from ..ops import field as _F
+        return tuple(_F.from_mont(self.spec.base, x) for x in pt)
+
+    def commit_pallas_fn(self, m: int, max_bits: int = 256,
+                         canonical: bool = False):
         """Pure fast-path commit fn(scalars_canon, px_tm, py_tm) -> projective
         point, for embedding in jitted programs. The base arrays are RUNTIME
         ARGUMENTS (jit-closure constants feeding pallas inputs are ~70x
         slower — ops/pallas_field.field_consts_dev)."""
         from ..ops import msm_pallas as MP
 
-        return lambda s, px, py: MP.msm_pallas(self.spec, s, px, py, m,
-                                               max_bits)
+        return lambda s, px, py: self._maybe_canon(
+            MP.msm_pallas(self.spec, s, px, py, m, max_bits), canonical)
 
     def commit_split_pallas_fn(self, m: int, big_idx: np.ndarray,
                                max_bits: int = SMALL_BITS):
@@ -147,78 +188,116 @@ class CommitmentKey:
         full-width positions via the XLA scale-on-the-fly MSM."""
         from ..ops import msm_pallas as MP
 
-        pts = tuple(p[:m] for p in self.points)
         big = jnp.asarray(big_idx.astype(np.int32))
-        big_pts = tuple(p[big] for p in pts) if len(big_idx) else None
+        big_scaled = self.scaled_big(big_idx) if len(big_idx) else None
 
         def fn(s, px, py):
             small = s.at[big].set(0) if len(big_idx) else s
             acc = MP.msm_pallas(self.spec, small, px, py, m, max_bits)
             if len(big_idx):
                 acc = C.pt_add(self.spec, acc,
-                               M.msm(self.spec, s[big], big_pts,
-                                     max_bits=256))
+                               M.msm(self.spec, s[big], None,
+                                     max_bits=256, scaled=big_scaled))
             return acc
 
         return fn
 
-    def commit_many_pallas_fn(self, m: int, max_bits: int = 256):
+    def commit_many_pallas_fn(self, m: int, max_bits: int = 256,
+                              canonical: bool = False):
         """Batched fast-path commit fn(scalars (J, m, 32), px_tm, py_tm) ->
         stacked projective (J, 32) x3 — J MSMs over the SHARED base array in
         one dispatch (ops/msm_pallas.msm_pallas_many)."""
         from ..ops import msm_pallas as MP
 
-        return lambda s, px, py: MP.msm_pallas_many(self.spec, s, px, py, m,
-                                                    max_bits)
+        return lambda s, px, py: self._maybe_canon(
+            MP.msm_pallas_many(self.spec, s, px, py, m, max_bits), canonical)
 
     def commit_many_pallas(self, scalars: jnp.ndarray,
-                           max_bits: int = 256) -> C.Point:
+                           max_bits: int = 256,
+                           canonical: bool = False) -> C.Point:
         """Standalone-dispatch batched commit, jit-cached per (J, m, bits)."""
         J, m = scalars.shape[0], scalars.shape[1]
-        key = ("pallas_many", J, m, max_bits)
+        key = ("pallas_many", J, m, max_bits, canonical)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
-                self.commit_many_pallas_fn(m, max_bits))
+                self.commit_many_pallas_fn(m, max_bits, canonical))
         px, py = self.scaled_tm(m, max_bits)
         return self._jit_cache[key](scalars, px, py)
 
     def commit_many_split_pallas_fn(self, m: int, big_idx: np.ndarray,
-                                    max_bits: int = SMALL_BITS):
+                                    max_bits: int = SMALL_BITS,
+                                    canonical: bool = False):
         """Batched split commit: small parts through ONE msm_pallas_many
-        dispatch, the few full-width positions through a vmapped XLA
-        scale-on-the-fly MSM."""
+        dispatch, the few full-width positions through a vmapped XLA MSM
+        over PRE-SCALED bases (scaled_big — no per-call doubling scan)."""
         from ..ops import msm_pallas as MP
 
-        pts = tuple(p[:m] for p in self.points)
         big = jnp.asarray(big_idx.astype(np.int32))
-        big_pts = tuple(p[big] for p in pts) if len(big_idx) else None
+        big_scaled = self.scaled_big(big_idx) if len(big_idx) else None
 
         def fn(s, px, py):
             small = s.at[:, big].set(0) if len(big_idx) else s
             acc = MP.msm_pallas_many(self.spec, small, px, py, m, max_bits)
             if len(big_idx):
                 bigp = jax.vmap(
-                    lambda sc: M.msm(self.spec, sc[big], big_pts,
-                                     max_bits=256))(s)
+                    lambda sc: M.msm(self.spec, sc[big], None,
+                                     max_bits=256, scaled=big_scaled))(s)
                 acc = jax.vmap(
                     lambda a, b2: C.pt_add(self.spec, a, b2))(acc, bigp)
-            return acc
+            return self._maybe_canon(acc, canonical)
 
         return fn
 
     def commit_many_split_pallas(self, scalars: jnp.ndarray,
-                                 big_idx: np.ndarray) -> C.Point:
+                                 big_idx: np.ndarray,
+                                 canonical: bool = False) -> C.Point:
         """Standalone-dispatch batched split commit (per-shape jit cache)."""
         J, m = scalars.shape[0], scalars.shape[1]
-        key = ("pallas_many_split", J, m, len(big_idx))
+        key = ("pallas_many_split", J, m, len(big_idx), canonical)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
-                self.commit_many_split_pallas_fn(m, big_idx))
+                self.commit_many_split_pallas_fn(m, big_idx,
+                                                 canonical=canonical))
         px, py = self.scaled_tm(m, SMALL_BITS)
         return self._jit_cache[key](scalars, px, py)
 
+    def commit_many_pallas_mesh(self, scalars: jnp.ndarray, mesh,
+                                max_bits: int = 256, axis: str = "chain",
+                                canonical: bool = False,
+                                big_idx: Optional[np.ndarray] = None
+                                ) -> C.Point:
+        """Batched commit with the JOB axis sharded over a mesh axis —
+        chain-per-chip lockstep (SURVEY.md §2c; VERDICT r03 next #10): each
+        device runs the full pallas kernel chain on its J/D jobs against
+        REPLICATED pre-scaled bases, so the fast path and the mesh compose
+        (no collective needed; jobs are independent MSMs). J must divide by
+        the axis size. big_idx selects the split variant (small windows +
+        full-width positions via scaled_big)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        J, m = scalars.shape[0], scalars.shape[1]
+        D = mesh.shape[axis]
+        assert J % D == 0, f"jobs {J} must divide by mesh axis {axis}={D}"
+        nbig = -1 if big_idx is None else len(big_idx)
+        key = ("pl_many_mesh", J, m, max_bits, canonical, nbig,
+               id(mesh), axis)
+        if key not in self._jit_cache:
+            if big_idx is None:
+                fn = self.commit_many_pallas_fn(m, max_bits, canonical)
+            else:
+                fn = self.commit_many_split_pallas_fn(m, big_idx,
+                                                      canonical=canonical)
+            self._jit_cache[key] = jax.jit(shard_map(
+                fn, mesh=mesh, in_specs=(P(axis), P(), P()),
+                out_specs=(P(axis), P(axis), P(axis)), check_rep=False))
+        px, py = self.scaled_tm(m, SMALL_BITS if big_idx is not None
+                                else max_bits)
+        return self._jit_cache[key](scalars, px, py)
+
     def commit_pallas(self, scalars_canon: jnp.ndarray,
-                      max_bits: int = 256) -> C.Point:
+                      max_bits: int = 256,
+                      canonical: bool = False) -> C.Point:
         """Standalone-dispatch pallas commit, jit-cached per (m, max_bits).
 
         The TPU compile relay in this environment caches NOTHING across
@@ -227,9 +306,10 @@ class CommitmentKey:
         commits, verify) instead of embedding the MSM into larger fused
         programs (each embedding = another full compile)."""
         m = scalars_canon.shape[0]
-        key = ("pallas", m, max_bits)
+        key = ("pallas", m, max_bits, canonical)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(self.commit_pallas_fn(m, max_bits))
+            self._jit_cache[key] = jax.jit(
+                self.commit_pallas_fn(m, max_bits, canonical))
         px, py = self.scaled_tm(m, max_bits)
         return self._jit_cache[key](scalars_canon, px, py)
 

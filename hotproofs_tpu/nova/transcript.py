@@ -23,8 +23,12 @@ HALF_MASK = (1 << HALF_BITS) - 1
 
 
 class Transcript:
-    def __init__(self, field_name: str, domain: bytes, pp_digest: int):
-        self.spec = P.spec_for(field_name)
+    def __init__(self, field_name: str, domain: bytes, pp_digest: int,
+                 pspec: Optional[P.PoseidonSpec] = None):
+        """pspec overrides the process-wide sponge parameterisation — a vk
+        records (t, R_F, R_P) and the verifier ADOPTS them (nova/vk.py),
+        rather than requiring the process env to match the prover's."""
+        self.spec = pspec if pspec is not None else P.spec_for(field_name)
         tag = int.from_bytes(
             hashlib.sha256(b"hotproofs/transcript/" + domain).digest(),
             "little") % self.spec.field.p

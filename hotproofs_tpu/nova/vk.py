@@ -46,7 +46,11 @@ def _mat_to_dict(spec: F.FieldSpec, m: SparseMat) -> dict:
 def export_vk(ivc: IVC, path: str, statement: str = "blake3-chunk",
               io_arity: Optional[int] = None) -> None:
     shape = ivc.shape
-    t, r_full, r_partial = transcript_poseidon_params(shape.field.name)
+    if ivc.pspec is not None:
+        t, r_full, r_partial = (ivc.pspec.t, ivc.pspec.r_full,
+                                ivc.pspec.r_partial)
+    else:
+        t, r_full, r_partial = transcript_poseidon_params(shape.field.name)
     serial.dump("verification_key", {
         "curve": ivc.curve.name,
         "field": shape.field.name,
@@ -92,13 +96,21 @@ def ivc_from_vk(path: str) -> IVC:
         mats.append(_mat_from_coo(spec, rows, cols, vals, n_cons))
     shape = ShapeDevice(spec, n_cons, int(d["n_vars"]), int(d["n_io"]),
                         *mats)
-    t, r_full, r_partial = transcript_poseidon_params(spec.name)
+    # ADOPT the vk's recorded sponge parameterisation rather than asserting
+    # it matches this process's HOTPROOFS_POSEIDON selection: both the
+    # default and the neptune-parameterised spec draw constants from the
+    # same Grain stream keyed by (n_bits, t, R_F, R_P), so (t, R_F, R_P)
+    # fully determines the transcript. A vk exported under
+    # HOTPROOFS_POSEIDON=neptune therefore verifies in a default-spec
+    # process and vice versa.
+    from ..ops import poseidon as P
     pd = d["poseidon"]
-    assert (pd["t"], pd["r_full"], pd["r_partial"]) == \
-        (t, r_full, r_partial), "vk Poseidon parameterisation mismatch"
+    pspec = P.make_spec(spec.name, t=int(pd["t"]),
+                        r_full=int(pd["r_full"]),
+                        r_partial=int(pd["r_partial"]))
     ck = CommitmentKey.create(curve, d["ck_label"].encode(), int(d["ck_n"]))
     ivc = IVC(shape, curve, ck, big_wit_idx=None,
-              label=d["label"].encode())
+              label=d["label"].encode(), pspec=pspec)
     assert ivc.pp_digest == int(d["pp_digest"]), \
         "vk pp digest mismatch (tampered or stale vk)"
     return ivc

@@ -223,6 +223,27 @@ def pt_to_affine_host(spec: CurveSpec, p: Point):
     return out
 
 
+def pt_to_affine_host_canon(spec: CurveSpec, p) -> list:
+    """Host-only affine conversion of CANONICAL-limb projective points
+    (tuple of (n, 32) arrays already converted from Montgomery form INSIDE
+    the producing program). Unlike pt_to_affine_host this dispatches NO
+    device work — three tiny from_mont dispatches through the compile
+    relay measured ~185 ms per call (tools/profile_lockstep_phases.py),
+    paid once per fold on the hot path."""
+    f = spec.base
+    X = f.limbs_to_ints(np.asarray(p[0])).ravel()
+    Y = f.limbs_to_ints(np.asarray(p[1])).ravel()
+    Z = f.limbs_to_ints(np.asarray(p[2])).ravel()
+    out = []
+    for x, y, z in zip(X.tolist(), Y.tolist(), Z.tolist()):
+        if z == 0:
+            out.append(None)
+        else:
+            zi = pow(z, f.p - 2, f.p)
+            out.append((x * zi % f.p, y * zi % f.p))
+    return out
+
+
 def pt_stack(points: Sequence[Point]) -> Point:
     return tuple(jnp.stack([pt[i] for pt in points]) for i in range(3))
 

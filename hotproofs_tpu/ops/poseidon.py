@@ -22,14 +22,18 @@ This stack ships TWO selectable parameterisations (HOTPROOFS_POSEIDON):
     below; (8, 55) for t=3 / arity 2 at 255 bits, the published
     Filecoin/neptune numbers), the same Grain-LFSR constant stream, and the
     same Cauchy MDS 1/(x_i + y_j) with x = 0..t, y = t..2t that
-    neptune's `mds.rs::generate_mds` builds. Domain tags follow neptune's
-    `hash_type.rs` (Standard/MerkleTree: 2^arity - 1; ConstantLength(l):
-    l * 2^64) via neptune_domain_tag. What remains UNVERIFIABLE without a
-    Rust toolchain: neptune's published test vectors cannot be executed
-    here, so "neptune" is best-effort parity, kept selectable rather than
-    default; prover/verifier remain self-consistent under either spec and
-    the exported vk records (t, R_F, R_P) so a foreign verifier knows which
-    sponge to replay.
+    neptune's `mds.rs::generate_mds` builds. neptune_domain_tag computes
+    neptune's `hash_type.rs` tags (Standard/MerkleTree: 2^arity - 1;
+    ConstantLength(l): l * 2^64) for callers that need them, but the
+    TRANSCRIPT sponge IO stays hotproofs-specific in BOTH modes: the
+    Transcript/HostSponge seeds its domain tag from a sha256-derived label
+    and uses its own absorb/squeeze pattern, so "neptune" mode changes only
+    round numbers + constants, not the sponge wire format. What remains
+    UNVERIFIABLE without a Rust toolchain: neptune's published test vectors
+    cannot be executed here, so "neptune" is best-effort parity, kept
+    selectable rather than default; prover/verifier remain self-consistent
+    under either spec and the exported vk records (t, R_F, R_P), which the
+    verifier ADOPTS when loading a vk (nova/vk.ivc_from_vk).
 
 The JAX permutation is branchless (full/partial round masks) and batched; a
 host exact-integer mirror serves as the test oracle.
@@ -170,9 +174,13 @@ def make_spec_neptune(field_name: str, arity: int = 2) -> PoseidonSpec:
     """neptune 13.0.0-parameterised spec: t = arity + 1, round numbers from
     neptune's search, constants from the shared Grain stream, Cauchy MDS
     (identical construction to neptune's generate_mds)."""
-    field = F.FIELDS[field_name]
     t = arity + 1
-    r_f, r_p = neptune_round_numbers(t, n_bits=field.p.bit_length())
+    # n_bits is HARDCODED to 255, matching the ported source: neptune's
+    # round_numbers_are_secure fixes n = 255 regardless of the concrete
+    # prime (its fields are all ~255-bit). Using p.bit_length() (254 for
+    # BN254/Grumpkin) gives identical results for every arity checked
+    # (t <= 37) but could drift from neptune on other fields.
+    r_f, r_p = neptune_round_numbers(t, n_bits=255)
     return make_spec(field_name, t, r_f, r_p)
 
 

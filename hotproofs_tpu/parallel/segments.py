@@ -101,6 +101,7 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
                    my_segments: Optional[Sequence[int]] = None,
                    max_workers: Optional[int] = None,
                    lockstep: bool = False,
+                   lockstep_group: Optional[int] = None,
                    retries: int = 1,
                    verify_each: bool = False,
                    checkpoint_dir: Optional[str] = None,
@@ -114,11 +115,15 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
     indices (multi-host sharding — every other entry is None in
     .segments and the caller composes across hosts); default all.
 
-    lockstep=True folds all segments in lockstep on ONE device
-    (IVC.prove_lockstep): every launch carries all K segments' fused
+    lockstep=True folds segments in lockstep on ONE device
+    (IVC.prove_lockstep): every launch carries a group of segments' fused
     fold+comm_T vmapped over the segment axis — K× aggregate folds/s on a
     launch-bound chip, vs the thread-pool path which overlaps but still
     serializes device launches. Proof bytes are identical either way.
+    lockstep_group bounds how many segments advance together (default all);
+    with checkpoint_dir set, every finished group's segment proofs persist,
+    so a killed run resumes at group granularity — this is how a SINGLE
+    4096-step chain runs as e.g. 32 segments in 4 lockstep waves of 8.
 
     Failure detection & elastic recovery (SURVEY.md §5 — the reference has
     none; a crashed prove loses everything):
@@ -144,26 +149,6 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
     n_steps = canon.shape[0]
     assert len(X_host) == n_steps and len(zs) == n_steps + 1
     bounds = split_plan(n_steps, n_segments)
-    if lockstep:
-        assert my_segments is None and devices is None, \
-            "lockstep proves all segments on the local device"
-        # Fault-tolerance knobs are implemented only by the thread-pool
-        # path; silently ignoring them would give a caller neither
-        # checkpointing nor fault detection.
-        assert retries == 1 and not verify_each and checkpoint_dir is None, \
-            "retries/verify_each/checkpoint_dir require lockstep=False"
-        chains = [([v for v in zs[a]], canon[a:b], X_host[a:b])
-                  for a, b in bounds]
-        chunk = min(16, max(b - a for a, b in bounds))
-        proofs = ivc.prove_lockstep(chains, chunk_steps=chunk,
-                                    progress=progress)
-        return SegmentedProof(segments=proofs)
-    todo = list(range(len(bounds))) if my_segments is None \
-        else sorted(set(my_segments))
-    # Uniform chunk size across segments (sizes differ by <=1): every
-    # segment reuses the same compiled batched-phase programs instead of
-    # compiling one variant per segment length.
-    chunk = min(16, bounds[0][1] - bounds[0][0])
 
     io_arity = len(zs[0])  # state arity (X rows are [z_out || z_in])
     fp = ivc.shape.field.p
@@ -200,6 +185,49 @@ def prove_segments(ivc: IVC, zs: Sequence[Sequence[int]], canon,
         except Exception:
             # Stale/foreign/corrupt checkpoint: reprove it.
             return None
+
+    if lockstep:
+        assert my_segments is None and devices is None, \
+            "lockstep proves all segments on the local device"
+        # Per-segment retries are a thread-pool feature; a failed lockstep
+        # wave fails the call (checkpointed waves still resume).
+        assert retries == 1, "retries require lockstep=False"
+        chunk = min(16, max(b - a for a, b in bounds))
+        segs: List[Optional[IVCProof]] = [None] * len(bounds)
+        todo = []
+        for k in range(len(bounds)):
+            segs[k] = _try_resume(k)
+            if segs[k] is None:
+                todo.append(k)
+        group = lockstep_group or max(1, len(todo))
+        for gi in range(0, len(todo), group):
+            ks = todo[gi: gi + group]
+            chains = [([v for v in zs[bounds[k][0]]],
+                       canon[bounds[k][0]: bounds[k][1]],
+                       X_host[bounds[k][0]: bounds[k][1]]) for k in ks]
+            with T.span("segments/lockstep_wave",
+                        wave=str(gi // group), k=str(len(ks))):
+                proofs = ivc.prove_lockstep(chains, chunk_steps=chunk,
+                                            progress=progress)
+            for k, pk in zip(ks, proofs):
+                if verify_each:
+                    ivc.verify(pk, io_arity=io_arity)
+                path = _ckpt_path(k)
+                if path is not None:
+                    pk.save(path)
+                T.count("segments/proved")
+                segs[k] = pk
+            if progress:
+                print(f"lockstep wave done: segments {ks}")
+        assert all(s is not None for s in segs)
+        return SegmentedProof(segments=segs)
+
+    todo = list(range(len(bounds))) if my_segments is None \
+        else sorted(set(my_segments))
+    # Uniform chunk size across segments (sizes differ by <=1): every
+    # segment reuses the same compiled batched-phase programs instead of
+    # compiling one variant per segment length.
+    chunk = min(16, bounds[0][1] - bounds[0][0])
 
     def prove_one(k: int) -> IVCProof:
         resumed = _try_resume(k)

@@ -83,3 +83,54 @@ def test_prove_batch_on_mesh_same_proof():
     sharded = ivc.prove_batch([3], canon, X_host, chunk_steps=4, mesh=mesh)
     assert base.to_dict() == sharded.to_dict()
     assert ivc.verify(sharded, io_arity=1) == base.z_final(1)
+
+
+def test_lockstep_mesh_pallas_chain_per_chip(monkeypatch):
+    """Fast path x mesh (VERDICT r03 next #10): prove_lockstep with a
+    4-device `chain` mesh and HOTPROOFS_PALLAS_MSM=1 — the K-job batched
+    pallas MSMs and the fused fold shard chain-per-chip — must produce
+    bit-identical proofs to the single-device lockstep run."""
+    from hotproofs_tpu.circuits import gadgets as g
+    from hotproofs_tpu.circuits.dsl import compile_circuit, eval_witness
+    from hotproofs_tpu.circuits.blake3_compression import VESTA_PRIME
+    from hotproofs_tpu.nova.ivc import IVC
+    from hotproofs_tpu.nova.pedersen import CommitmentKey
+    from hotproofs_tpu.nova.r1cs import ShapeDevice
+    from hotproofs_tpu.utils import config as cfg
+    from jax.sharding import Mesh
+    import numpy as np
+
+    def toy_step(ctx):
+        z_out = ctx.declare_output("z_out", 1)
+        z_in = ctx.declare_input("z_in", 1, public=True)
+        sq = g.mul(ctx, z_in[0], z_in[0], name="sq")
+        cube = g.mul(ctx, sq, z_in[0], name="cube")
+        ctx.bind(z_out[0], cube + 7)
+
+    p = VESTA_PRIME
+    r1cs, layout = compile_circuit(toy_step, p)
+    shape = ShapeDevice.from_dsl(r1cs)
+    ck = CommitmentKey.create(C.PALLAS, b"toy-mesh-pl",
+                              max(shape.n_wit, shape.n_cons))
+    ivc = IVC(shape, C.PALLAS, ck, None)
+
+    spec = shape.field
+    chains = []
+    for z0 in (3, 5, 7, 11):
+        z, wits = z0, []
+        for _ in range(3):
+            w = eval_witness(toy_step, layout, {"z_in": [z]})
+            wits.append([int(v) for v in w])
+            z = (pow(z, 3, p) + 7) % p
+        canon = jnp.asarray(np.stack([spec.batch_to_limbs(w) for w in wits]))
+        X_host = [[int(v) % p for v in w[1:1 + shape.n_io]] for w in wits]
+        chains.append(([z0], canon, X_host))
+
+    monkeypatch.setattr(cfg.CONFIG, "pallas_msm", "1")
+    base = ivc.prove_lockstep(chains, chunk_steps=3)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("chain",))
+    sharded = ivc.prove_lockstep(chains, chunk_steps=3, mesh=mesh)
+    for a, b in zip(base, sharded):
+        assert a.to_dict() == b.to_dict()
+    for pr, (z0, _, _) in zip(sharded, chains):
+        assert ivc.verify(pr, io_arity=1) == pr.z_final(1)

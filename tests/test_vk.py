@@ -101,3 +101,40 @@ def test_vk_chunk_proof_roundtrip(tmp_path):
     prover.export_vk(vk_path)
     got = verify_with_vk(vk_path, proof, expected_hash=b3.hash_bytes(data))
     assert got == root
+
+
+def test_vk_adopts_neptune_spec_in_default_process(tmp_path, monkeypatch):
+    """A vk exported under HOTPROOFS_POSEIDON=neptune verifies in a process
+    running the DEFAULT spec: ivc_from_vk ADOPTS the vk's recorded
+    (t, R_F, R_P) instead of asserting it matches the local env
+    (VERDICT r03 missing #3 / next #7)."""
+    from hotproofs_tpu.utils.config import CONFIG
+
+    monkeypatch.setattr(CONFIG, "poseidon", "neptune")
+    p = VESTA_PRIME
+    r1cs, layout = compile_circuit(_toy_step, p)
+    shape = ShapeDevice.from_dsl(r1cs)
+    ck = CommitmentKey.create(C.PALLAS, b"toy-vk",
+                              max(shape.n_wit, shape.n_cons))
+    ivc = IVC(shape, C.PALLAS, ck, None, label=b"toy-vk-ivc")
+    z, wits = 3, []
+    for _ in range(3):
+        w = eval_witness(_toy_step, layout, {"z_in": [z]})
+        wits.append([int(v) for v in w])
+        z = (pow(z, 3, p) + 7) % p
+    proof = ivc.prove([3], wits)
+    vk_path = str(tmp_path / "vk_nep.json")
+    export_vk(ivc, vk_path, statement="toy", io_arity=1)
+    with open(vk_path) as f:
+        assert json.load(f)["poseidon"]["r_partial"] == 55  # neptune t=3
+
+    # Back on the default spec: the loaded verifier must still accept.
+    monkeypatch.setattr(CONFIG, "poseidon", "default")
+    ivc2 = ivc_from_vk(vk_path)
+    assert ivc2.pspec is not None and ivc2.pspec.r_partial == 55
+    assert ivc2.verify(proof, io_arity=1) == [z]
+    # ... while a default-spec verifier WITHOUT the vk rejects (different
+    # challenge stream), proving the adopt path is what makes it work.
+    ivc_local = IVC(shape, C.PALLAS, ck, None, label=b"toy-vk-ivc")
+    with pytest.raises(AssertionError):
+        ivc_local.verify(proof, io_arity=1)
