@@ -162,6 +162,43 @@ class CommitmentKey:
         self._scaled_big_cache[key] = res
         return res
 
+    # Tiny MSMs (m < 256) produce kernel shapes (b = 8, singleton grid
+    # dims) that crash the Mosaic compiler ("Check failed: limits[i] <=
+    # dim(i)"); padding the big-part MSM to 256 points gives the normal
+    # b=16/1024-lane shapes at ~10% of a W commit's adds.
+    NB_PAD = 256
+
+    def scaled_tm_big(self, big_idx: np.ndarray) -> Tuple[jnp.ndarray,
+                                                          jnp.ndarray]:
+        """Time-major affine pre-scaled bases for JUST the big positions at
+        full width, zero-padded to NB_PAD points — lets the split commit's
+        big part run as a (tiny) pallas MSM instead of a vmapped XLA MSM
+        (the XLA big part measured ~500 ms per J=128 batched split commit
+        even with pre-scaled bases; tools/profile_lockstep_phases.py)."""
+        from ..ops import msm_pallas as MP
+
+        key = ("tm_big", tuple(int(v) for v in big_idx))
+        if key in self._scaled_tm_cache:
+            return self._scaled_tm_cache[key]
+        f = self.spec.base
+        rinv = pow(f.r_mod_p, f.p - 2, f.p)
+        nb = self.NB_PAD
+        gens = []
+        for gi in big_idx:
+            x = F.limbs_to_int(self.gens_affine[int(gi), 0]) * rinv % f.p
+            y = F.limbs_to_int(self.gens_affine[int(gi), 1]) * rinv % f.p
+            gens.append((x, y))
+        b, lpw, w4, n_lanes = MP.plan(nb, 256)
+        xa, ya = MP.scaled_affine_host(self.spec, gens, w4)
+        # zero-pad the point axis to NB_PAD (padding digits are 0 = dump).
+        pad = np.zeros((w4, nb - len(gens), F.N_LIMBS), np.int32)
+        xa = np.concatenate([np.asarray(xa), pad], axis=1)
+        ya = np.concatenate([np.asarray(ya), pad], axis=1)
+        out = (jnp.asarray(MP.to_tm(xa, nb, b, lpw, w4, n_lanes)),
+               jnp.asarray(MP.to_tm(ya, nb, b, lpw, w4, n_lanes)))
+        self._scaled_tm_cache[key] = out
+        return out
+
     def _maybe_canon(self, pt: C.Point, canonical: bool) -> C.Point:
         """Convert projective Montgomery output to canonical limbs INSIDE
         the producing jit (callers then use pt_to_affine_host_canon: zero
@@ -184,20 +221,26 @@ class CommitmentKey:
 
     def commit_split_pallas_fn(self, m: int, big_idx: np.ndarray,
                                max_bits: int = SMALL_BITS):
-        """Split fast-path commit: small part via the pallas MSM, the few
-        full-width positions via the XLA scale-on-the-fly MSM."""
+        """Split fast-path commit fn(s, px, py, pxb, pyb): small part via
+        the pallas MSM at SMALL_BITS windows, the few full-width positions
+        via a second (tiny) pallas MSM over their own pre-scaled bases
+        (scaled_tm_big). Round 4: the big part previously ran as an XLA
+        MSM — ~500 ms per J=128 batched split commit even pre-scaled."""
         from ..ops import msm_pallas as MP
 
         big = jnp.asarray(big_idx.astype(np.int32))
-        big_scaled = self.scaled_big(big_idx) if len(big_idx) else None
+        nb = len(big_idx)
+        nbp = self.NB_PAD
 
-        def fn(s, px, py):
-            small = s.at[big].set(0) if len(big_idx) else s
+        def fn(s, px, py, pxb, pyb):
+            small = s.at[big].set(0) if nb else s
             acc = MP.msm_pallas(self.spec, small, px, py, m, max_bits)
-            if len(big_idx):
+            if nb:
+                sb = jnp.zeros((nbp, F.N_LIMBS), jnp.int32)
+                sb = sb.at[:nb].set(s[big])
                 acc = C.pt_add(self.spec, acc,
-                               M.msm(self.spec, s[big], None,
-                                     max_bits=256, scaled=big_scaled))
+                               MP.msm_pallas(self.spec, sb, pxb, pyb,
+                                             nbp, 256))
             return acc
 
         return fn
@@ -227,21 +270,24 @@ class CommitmentKey:
     def commit_many_split_pallas_fn(self, m: int, big_idx: np.ndarray,
                                     max_bits: int = SMALL_BITS,
                                     canonical: bool = False):
-        """Batched split commit: small parts through ONE msm_pallas_many
-        dispatch, the few full-width positions through a vmapped XLA MSM
-        over PRE-SCALED bases (scaled_big — no per-call doubling scan)."""
+        """Batched split commit fn(s, px, py, pxb, pyb): small parts
+        through ONE msm_pallas_many dispatch at SMALL_BITS windows, the
+        few full-width positions through a SECOND (tiny) msm_pallas_many
+        over their own pre-scaled time-major bases (scaled_tm_big)."""
         from ..ops import msm_pallas as MP
 
         big = jnp.asarray(big_idx.astype(np.int32))
-        big_scaled = self.scaled_big(big_idx) if len(big_idx) else None
+        nb = len(big_idx)
+        nbp = self.NB_PAD
 
-        def fn(s, px, py):
-            small = s.at[:, big].set(0) if len(big_idx) else s
+        def fn(s, px, py, pxb, pyb):
+            small = s.at[:, big].set(0) if nb else s
             acc = MP.msm_pallas_many(self.spec, small, px, py, m, max_bits)
-            if len(big_idx):
-                bigp = jax.vmap(
-                    lambda sc: M.msm(self.spec, sc[big], None,
-                                     max_bits=256, scaled=big_scaled))(s)
+            if nb:
+                sb = jnp.zeros((s.shape[0], nbp, F.N_LIMBS), jnp.int32)
+                sb = sb.at[:, :nb].set(s[:, big, :])
+                bigp = MP.msm_pallas_many(self.spec, sb, pxb, pyb,
+                                          nbp, 256)
                 acc = jax.vmap(
                     lambda a, b2: C.pt_add(self.spec, a, b2))(acc, bigp)
             return self._maybe_canon(acc, canonical)
@@ -259,7 +305,8 @@ class CommitmentKey:
                 self.commit_many_split_pallas_fn(m, big_idx,
                                                  canonical=canonical))
         px, py = self.scaled_tm(m, SMALL_BITS)
-        return self._jit_cache[key](scalars, px, py)
+        pxb, pyb = self.scaled_tm_big(big_idx)
+        return self._jit_cache[key](scalars, px, py, pxb, pyb)
 
     def commit_many_pallas_mesh(self, scalars: jnp.ndarray, mesh,
                                 max_bits: int = 256, axis: str = "chain",
@@ -285,15 +332,20 @@ class CommitmentKey:
         if key not in self._jit_cache:
             if big_idx is None:
                 fn = self.commit_many_pallas_fn(m, max_bits, canonical)
+                specs = (P(axis), P(), P())
             else:
                 fn = self.commit_many_split_pallas_fn(m, big_idx,
                                                       canonical=canonical)
+                specs = (P(axis), P(), P(), P(), P())
             self._jit_cache[key] = jax.jit(shard_map(
-                fn, mesh=mesh, in_specs=(P(axis), P(), P()),
+                fn, mesh=mesh, in_specs=specs,
                 out_specs=(P(axis), P(axis), P(axis)), check_rep=False))
-        px, py = self.scaled_tm(m, SMALL_BITS if big_idx is not None
-                                else max_bits)
-        return self._jit_cache[key](scalars, px, py)
+        if big_idx is None:
+            return self._jit_cache[key](scalars,
+                                        *self.scaled_tm(m, max_bits))
+        px, py = self.scaled_tm(m, SMALL_BITS)
+        pxb, pyb = self.scaled_tm_big(big_idx)
+        return self._jit_cache[key](scalars, px, py, pxb, pyb)
 
     def commit_pallas(self, scalars_canon: jnp.ndarray,
                       max_bits: int = 256,
@@ -315,15 +367,16 @@ class CommitmentKey:
 
     def commit_split_pallas(self, scalars_canon: jnp.ndarray,
                             big_idx: np.ndarray) -> C.Point:
-        """Standalone-dispatch split commit (pallas small part + XLA
-        full-width part for the few big positions), jit-cached per shape."""
+        """Standalone-dispatch split commit (two pallas MSMs: small-window
+        main part + tiny full-width big part), jit-cached per shape."""
         m = scalars_canon.shape[0]
         key = ("pallas_split", m, len(big_idx))
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 self.commit_split_pallas_fn(m, big_idx))
         px, py = self.scaled_tm(m, SMALL_BITS)
-        return self._jit_cache[key](scalars_canon, px, py)
+        pxb, pyb = self.scaled_tm_big(big_idx)
+        return self._jit_cache[key](scalars_canon, px, py, pxb, pyb)
 
     def commit_fn(self, m: int, max_bits: int = 256):
         """Pure commit function fn(scalars, scaled) for m scalars —
@@ -337,11 +390,11 @@ class CommitmentKey:
 
     def commit_split_fn(self, m: int, big_idx: np.ndarray):
         """Pure split-commit fn(scalars, scaled_small): positions in
-        big_idx full-width (tiny scale-on-the-fly MSM), the rest with
-        SMALL_BITS windows against the pre-scaled argument."""
-        pts = tuple(p[:m] for p in self.points)
+        big_idx full-width against HOST-pre-scaled bases (scaled_big — no
+        256-step in-graph doubling scan), the rest with SMALL_BITS windows
+        against the pre-scaled argument."""
         big = jnp.asarray(big_idx.astype(np.int32))
-        big_pts = tuple(p[big] for p in pts) if len(big_idx) else None
+        big_scaled = self.scaled_big(big_idx) if len(big_idx) else None
 
         def fn(s, scaled_small):
             small = s.at[big].set(0) if len(big_idx) else s
@@ -349,8 +402,8 @@ class CommitmentKey:
                         scaled=scaled_small)
             if len(big_idx):
                 acc = C.pt_add(self.spec, acc,
-                               M.msm(self.spec, s[big], big_pts,
-                                     max_bits=256))
+                               M.msm(self.spec, s[big], None,
+                                     max_bits=256, scaled=big_scaled))
             return acc
 
         return fn

@@ -206,10 +206,15 @@ class Side:
         return C.pt_to_affine_host(
             self.curve, tuple(x[None] for x in pt))[0]
 
-    def synthesize(self, inputs) -> Tuple[StrictHost, dict]:
-        """Run the augmented circuit's evaluator (self-checking), commit
-        the witness, return the strict instance + device tensors."""
-        w = eval_witness(self.circuit_fn, self.layout, inputs)
+    def synthesize(self, inputs, check: bool = True
+                   ) -> Tuple[StrictHost, dict]:
+        """Run the augmented circuit's evaluator, commit the witness,
+        return the strict instance + device tensors. check=False skips the
+        evaluator's per-constraint asserts (a debug mirror — soundness
+        rests on the committed relation, and the prove loop still asserts
+        the state-hash outputs against host mirrors); it cuts ~35% of the
+        host synthesis time on the prove hot path."""
+        w = eval_witness(self.circuit_fn, self.layout, inputs, check=check)
         X = (int(w[1]), int(w[2]))
         canon = witness_to_device(self.spec, w)
         z_mont = self._to_mont(canon)

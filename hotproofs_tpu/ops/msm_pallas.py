@@ -50,7 +50,9 @@ from . import pallas_field as PF
 L = F.N_LIMBS
 NSLOT = 16     # bucket slots per lane: digit value 0..15; slot 0 = dump
 LB = 512       # lanes per grid block
-BC = 8         # points per lane per grid step
+BC = 16        # points per lane per grid step (on-chip sweep r04: 16 beats
+               # 8 by ~7% at the comm_T shape; 32 is slightly worse, 64 and
+               # LB=1024 exceed the Mosaic compiler's limits)
 
 
 # ---------------------------------------------------------------------------
