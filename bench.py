@@ -26,12 +26,26 @@ its timings). North star: >=10x.
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RUST_FOLD_BASELINE_FOLDS_PER_SEC = 1.0
+
+# Total wall-clock budget. The primary metric (lockstep folds/s) must land
+# well inside it; every optional stage first checks remaining() against a
+# conservative cost estimate and is skipped (recorded as null) when the
+# budget cannot cover it — a diagnostic stage must never cost the bench its
+# JSON line (round-4 lesson: BENCH_r04 rc=124 died inside bench_recursive).
+BUDGET_S = float(os.environ.get("HOTPROOFS_BENCH_BUDGET", "1500"))
+_T_START = time.time()
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.time() - _T_START)
 
 
 def bench_witness_throughput(prover, n_batch=4096):
@@ -187,7 +201,83 @@ def bench_recursive(prover, n_steps=4):
     return sps, warm_s
 
 
+def _recursive_sub_main():
+    """Subprocess entry: run ONLY the recursive bench, print one JSON line.
+    Isolated so the parent can hard-kill a runaway augmented-circuit
+    compile without losing its own JSON output."""
+    from hotproofs_tpu.utils.config import setup_jax
+    setup_jax()
+    from hotproofs_tpu.models.chunk_prover import ChunkProver
+    prover = ChunkProver()
+    sps, warm = bench_recursive(prover)
+    print(json.dumps({"recursive_steps_per_sec": sps,
+                      "recursive_warmup_s": warm}))
+
+
+def bench_recursive_subprocess(timeout_s: float):
+    """Run the recursive bench in a killable subprocess; (sps, warm) or
+    (None, None) on timeout/failure."""
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--recursive-sub"],
+            capture_output=True, text=True, timeout=timeout_s)
+        for line in res.stdout.splitlines()[::-1]:
+            line = line.strip()
+            if line.startswith("{"):
+                d = json.loads(line)
+                return (d.get("recursive_steps_per_sec"),
+                        d.get("recursive_warmup_s"))
+        print(f"recursive subprocess rc={res.returncode}, no JSON; tail: "
+              f"{res.stderr[-400:]}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"recursive subprocess exceeded {timeout_s:.0f}s, killed",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"recursive subprocess failed: {e}", file=sys.stderr)
+    return None, None
+
+
+class _Result:
+    """Mutable metric store; emit() prints the single JSON line. A SIGTERM
+    handler emits whatever has been recorded so far, so even a driver-side
+    timeout leaves a parseable line in the log."""
+
+    def __init__(self):
+        self.primary = None
+        self.extra = {"stages_skipped": []}
+        self.emitted = False
+
+    def emit(self):
+        if self.emitted:
+            return
+        self.emitted = True
+        primary = self.primary if self.primary is not None else 0.0
+        print(json.dumps({
+            "metric": "nova_folds_per_sec_blake3_step",
+            "value": round(primary, 4),
+            "unit": "folds/s",
+            "vs_baseline": round(
+                primary / RUST_FOLD_BASELINE_FOLDS_PER_SEC, 4),
+            "extra_metrics": self.extra,
+        }), flush=True)
+
+    def skip(self, stage, need):
+        self.extra["stages_skipped"].append(stage)
+        print(f"SKIP {stage}: {remaining():.0f}s left < {need}s budget",
+              file=sys.stderr)
+
+
 def main():
+    res = _Result()
+
+    def _on_term(signum, frame):
+        print(f"signal {signum} at {time.time() - _T_START:.0f}s — "
+              "emitting partial JSON", file=sys.stderr)
+        res.emit()
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
     from hotproofs_tpu.utils.config import setup_jax
     setup_jax()  # default platform: the real TPU in this environment
 
@@ -209,6 +299,7 @@ def main():
     root, proof = prover.prove(data, 0, fast=True)
     t_warm = time.time() - t0
     print(f"warmup prove (incl compile): {t_warm:.2f}s", file=sys.stderr)
+    res.extra["warmup_s"] = round(t_warm, 2)
 
     # Timed run: full batched pipeline (witness kernel + batched commits +
     # fold loop), compiled path.
@@ -218,44 +309,30 @@ def main():
     n_steps = proof.ivc_proof.num_steps
     folds_per_sec = n_steps / dt
     print(f"fold pipeline: {n_steps} steps in {dt:.2f}s", file=sys.stderr)
+    res.extra["single_chain_folds_per_sec"] = round(folds_per_sec, 4)
+    res.extra["prove_s"] = round(dt, 2)
+    res.primary = folds_per_sec  # until lockstep lands
 
     # Sanity: the proof must verify and reproduce the true hash.
     got = prover.verify(proof, expected_hash=b3.hash_bytes(data))
     assert got == b3.hash_bytes(data)
     print("proof verified; root matches oracle", file=sys.stderr)
 
-    wps, wdt = bench_witness_throughput(prover)
-    print(f"witness throughput: 4096 blocks in {wdt * 1e3:.1f}ms "
-          f"= {wps:,.0f} wit/s = {wps * n_cons / 1e9:.2f}G constraints/s",
-          file=sys.stderr)
-
-    msm_pps = bench_msm(prover)
-    print(f"MSM (comm_T shape, full width): {msm_pps / 1e6:.2f} M points/s",
-          file=sys.stderr)
-
-    try:
-        msm_phases = bench_msm_phases(prover)
-    except Exception as e:  # phases are diagnostics; never fail the bench
-        print(f"msm phase breakdown failed: {e}", file=sys.stderr)
-        msm_phases = {}
-
-    try:
-        rec_sps, rec_warm = bench_recursive(prover)
-    except Exception as e:
-        print(f"recursive bench failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-        rec_sps, rec_warm = None, None
-
-    # Lockstep multi-chunk proving: K chunk challenges against a 16 KiB
-    # file (K chains x (16 blocks + tree path) folds), one chip. Warmup
-    # compiles the K-wide vmapped fused program, then one timed run.
-    # K falls back 8 -> 4 -> 2 if the K-wide fused comm_T MSM exceeds the
-    # chip's HBM; a total lockstep failure still reports the single-chain
-    # number (the bench must ALWAYS print its JSON line).
+    # PRIMARY METRIC, immediately after the shared-program warmup
+    # (VERDICT r04 next #1): lockstep multi-chunk proving — K chunk
+    # challenges against a 16 KiB file (K chains x (16 blocks + tree
+    # path) folds), one chip. K falls back 8 -> 4 -> 2 if the K-wide
+    # fused comm_T MSM exceeds the chip's HBM; a total lockstep failure
+    # still reports the single-chain number.
     lockstep_fps, K_used, n_folds_many, t_warm_many = None, 0, 0, 0.0
     lockstep_verify_failed = False
-    data_many = bytes(16384)
-    for K in (8, 4, 2):
+    data_many = bytes(32768)
+    # K=16 first (round 5): the bucket MSM is THROUGHPUT-bound
+    # (tools/exp_bucket2.py / exp_tsplit.py), so aggregate folds/s grows by
+    # amortizing the fixed per-wave costs over more chains; HBM fits K=16
+    # (comm_T J=16 buckets ~0.4 GB, W-commit J=256 ~1.6 GB).
+    ladder = (16, 8, 4, 2) if remaining() > 600 else (8, 4, 2)
+    for K in ladder:
         try:
             t0 = time.time()
             root_m, proofs_m = prover.prove_many(data_many, list(range(K)))
@@ -289,32 +366,64 @@ def main():
         except Exception as e:  # OOM/compile failure: shrink K
             print(f"lockstep K={K} failed: {type(e).__name__}: "
                   f"{str(e)[:300]}", file=sys.stderr)
+    res.extra.update({
+        "lockstep_chains": K_used,
+        "lockstep_folds": n_folds_many,
+        "lockstep_verify_failed": lockstep_verify_failed,
+        "warmup_lockstep_s": round(t_warm_many, 2),
+    })
+    if lockstep_fps is not None:
+        res.primary = lockstep_fps
 
-    primary = lockstep_fps if lockstep_fps is not None else folds_per_sec
-    print(json.dumps({
-        "metric": "nova_folds_per_sec_blake3_step",
-        "value": round(primary, 4),
-        "unit": "folds/s",
-        "vs_baseline": round(primary / RUST_FOLD_BASELINE_FOLDS_PER_SEC, 4),
-        "extra_metrics": {
-            "single_chain_folds_per_sec": round(folds_per_sec, 4),
-            "lockstep_chains": K_used,
-            "lockstep_folds": n_folds_many,
-            "lockstep_verify_failed": lockstep_verify_failed,
-            "msm_points_per_sec": round(msm_pps, 1),
-            "msm_phases": msm_phases,
-            "recursive_steps_per_sec": (round(rec_sps, 4)
-                                        if rec_sps is not None else None),
-            "recursive_warmup_s": (round(rec_warm, 1)
-                                   if rec_warm is not None else None),
-            "witnesses_per_sec_batch4096": round(wps, 1),
-            "constraints_per_sec": round(wps * n_cons, 1),
-            "warmup_s": round(t_warm, 2),
-            "warmup_lockstep_s": round(t_warm_many, 2),
-            "prove_s": round(dt, 2),
-        },
-    }))
+    # ---- optional stages: diagnostics, each gated on remaining budget ----
+    if remaining() > 90:
+        wps, wdt = bench_witness_throughput(prover)
+        print(f"witness throughput: 4096 blocks in {wdt * 1e3:.1f}ms "
+              f"= {wps:,.0f} wit/s = {wps * n_cons / 1e9:.2f}G "
+              "constraints/s", file=sys.stderr)
+        res.extra["witnesses_per_sec_batch4096"] = round(wps, 1)
+        res.extra["constraints_per_sec"] = round(wps * n_cons, 1)
+    else:
+        res.skip("witness_throughput", 90)
+
+    if remaining() > 150:
+        try:
+            msm_pps = bench_msm(prover)
+            print(f"MSM (comm_T shape, full width): {msm_pps / 1e6:.2f} "
+                  "M points/s", file=sys.stderr)
+            res.extra["msm_points_per_sec"] = round(msm_pps, 1)
+        except Exception as e:
+            print(f"msm bench failed: {e}", file=sys.stderr)
+    else:
+        res.skip("msm", 150)
+
+    # The recursive bench compiles two augmented-circuit MSM programs —
+    # minutes through this environment's compile relay. Subprocess with a
+    # hard timeout: it can never take down the parent's JSON line.
+    rec_budget = remaining() - 90
+    if rec_budget > 300:
+        rec_sps, rec_warm = bench_recursive_subprocess(rec_budget)
+        if rec_sps is not None:
+            res.extra["recursive_steps_per_sec"] = round(rec_sps, 4)
+            res.extra["recursive_warmup_s"] = round(rec_warm, 1)
+    else:
+        res.skip("recursive", 390)
+
+    # Per-phase MSM breakdown last: 4 extra pallas compiles, diagnostics
+    # only.
+    if remaining() > 400:
+        try:
+            res.extra["msm_phases"] = bench_msm_phases(prover)
+        except Exception as e:
+            print(f"msm phase breakdown failed: {e}", file=sys.stderr)
+    else:
+        res.skip("msm_phases", 400)
+
+    res.emit()
 
 
 if __name__ == "__main__":
-    main()
+    if "--recursive-sub" in sys.argv:
+        _recursive_sub_main()
+    else:
+        main()

@@ -328,3 +328,122 @@ def eval_witness(gadget: Callable, layout: CircuitLayout,
     ctx = EvalCtx(layout, inputs, check=check)
     gadget(ctx)
     return ctx.witness()
+
+
+# ---------------------------------------------------------------------------
+# Compiled (tape) evaluator: record the gadget walk once, replay per call.
+# ---------------------------------------------------------------------------
+
+
+class _TraceCtx(BuildCtx):
+    """Symbolic walk that records an execution TAPE instead of constraints.
+
+    Any gadget that builds under BuildCtx is control-flow-independent of
+    input values (BuildCtx already walks it with symbolic LinExprs), so one
+    recorded walk replays for every input assignment. Replaying the tape
+    skips all gadget-structure Python (loops, scopes, LinExpr allocation) —
+    the dominant cost of per-step EvalCtx synthesis on the recursive-prove
+    hot path (nova/recursive.py Side.synthesize)."""
+
+    def __init__(self, modulus: int):
+        super().__init__(modulus)
+        # ops: ("hint", fn, deps_desc, start) | ("hintv", fn, deps_desc,
+        # start, n) | ("bind", idx, desc); desc = (const, ((idx, coeff)...))
+        self.tape: List[tuple] = []
+
+    @staticmethod
+    def _desc(v: Value):
+        if isinstance(v, LinExpr):
+            return (v.const, v.terms)
+        return (int(v), ())
+
+    def hint(self, fn, deps, name="h") -> LinExpr:
+        sig = super().hint(fn, deps, name)
+        self.tape.append(("hint", fn, tuple(self._desc(d) for d in deps),
+                          sig.terms[0][0]))
+        return sig
+
+    def hint_vec(self, fn, deps, n, name="hv") -> List[LinExpr]:
+        sigs = super().hint_vec(fn, deps, n, name)
+        self.tape.append(("hintv", fn, tuple(self._desc(d) for d in deps),
+                          sigs[0].terms[0][0], n))
+        return sigs
+
+    def bind(self, out_sig: LinExpr, expr: Value) -> None:
+        super().bind(out_sig, expr)
+        assert len(out_sig.terms) == 1 and out_sig.terms[0][1] == 1
+        self.tape.append(("bind", out_sig.terms[0][0], self._desc(expr)))
+
+    def enforce(self, a: Value, b: Value, c: Value) -> None:
+        # Constraints still recorded (for optional replay checking).
+        super().enforce(a, b, c)
+
+
+class CompiledEvaluator:
+    """Replayable witness generator for one gadget; bit-identical output to
+    eval_witness (tests/test_witness_jax.py::test_compiled_evaluator)."""
+
+    def __init__(self, gadget: Callable, layout: CircuitLayout):
+        ctx = _TraceCtx(layout.modulus)
+        gadget(ctx)
+        assert ctx.n_signals == layout.n_signals, "tape/layout drift"
+        self.p = layout.modulus
+        self.layout = layout
+        self.tape = ctx.tape
+        self.inputs_segs = [s for s in layout.segments
+                            if s.role in ("pub", "priv")]
+        # Constraint triples for optional checking, in COO-free desc form.
+        self._cons = None
+        self._trace_ctx = ctx
+
+    def _check_descs(self):
+        if self._cons is None:
+            # Rebuild per-row (a, b, c) descriptors from the trace's COO.
+            rows = {}
+            for mat_i, mat in enumerate((self._trace_ctx.A,
+                                         self._trace_ctx.B,
+                                         self._trace_ctx.C)):
+                for r, cidx, coeff in mat:
+                    rows.setdefault(r, ([], [], []))[mat_i].append(
+                        (cidx, coeff))
+            self._cons = [rows.get(r, ([], [], []))
+                          for r in range(self._trace_ctx.n_constraints)]
+        return self._cons
+
+    def eval(self, inputs: Dict[str, Sequence[int]],
+             check: bool = False) -> np.ndarray:
+        p = self.p
+        w: List[Optional[int]] = [None] * self.layout.n_signals
+        w[0] = 1
+        for seg in self.inputs_segs:
+            vals = inputs[seg.name]
+            assert len(vals) == seg.length, f"input {seg.name} length"
+            st = seg.start
+            for i, v in enumerate(vals):
+                w[st + i] = int(v) % p
+
+        def ev(desc):
+            acc, terms = desc
+            for idx, coeff in terms:
+                acc += coeff * w[idx]
+            return acc % p
+
+        for op in self.tape:
+            tag = op[0]
+            if tag == "bind":
+                w[op[1]] = ev(op[2])
+            elif tag == "hint":
+                _, fn, deps, start = op
+                w[start] = int(fn(*[ev(d) for d in deps])) % p
+            else:  # hintv
+                _, fn, deps, start, n = op
+                vs = fn(*[ev(d) for d in deps])
+                for i in range(n):
+                    w[start + i] = int(vs[i]) % p
+        assert all(v is not None for v in w), "unset signals remain"
+        if check:
+            lin = lambda pairs: sum(c * w[i] for i, c in pairs) % p
+            for a, b, c in self._check_descs():
+                assert (lin(a) * lin(b) - lin(c)) % p == 0, \
+                    "constraint violated in compiled eval"
+        return np.array(w, dtype=object)

@@ -93,10 +93,20 @@ def _i2b(v: int) -> bytes:
     return int(v).to_bytes(32, "little")
 
 
+def _checked(handle: int, what: str) -> int:
+    """Native registration returns -1 on rejection (e.g. t > 16); caching
+    and later passing a negative handle would index a C++ vector out of
+    bounds (round-4 advisor finding) — fail loudly instead."""
+    if handle < 0:
+        raise ValueError(f"native {what} registration rejected "
+                         f"(handle {handle})")
+    return handle
+
+
 def field_id(p: int) -> int:
     lib = get_lib()
     if p not in _field_ids:
-        _field_ids[p] = lib.ffec_field(_i2b(p))
+        _field_ids[p] = _checked(lib.ffec_field(_i2b(p)), "field")
     return _field_ids[p]
 
 
@@ -109,8 +119,8 @@ def poseidon_id(spec) -> int:
         fid = field_id(spec.field.p)
         rc = b"".join(_i2b(c) for row in spec.round_constants for c in row)
         mds = b"".join(_i2b(m) for row in spec.mds for m in row)
-        _poseidon_ids[key] = lib.ffec_poseidon(
-            fid, spec.t, spec.r_full, spec.r_partial, rc, mds)
+        _poseidon_ids[key] = _checked(lib.ffec_poseidon(
+            fid, spec.t, spec.r_full, spec.r_partial, rc, mds), "poseidon")
     return _poseidon_ids[key]
 
 
@@ -120,7 +130,9 @@ def curve_id(curve_spec) -> int:
     if key not in _curve_ids:
         lib = get_lib()
         fid = field_id(curve_spec.base.p)
-        _curve_ids[key] = lib.ffec_curve(fid, _i2b(curve_spec.b % curve_spec.base.p))
+        _curve_ids[key] = _checked(
+            lib.ffec_curve(fid, _i2b(curve_spec.b % curve_spec.base.p)),
+            "curve")
     return _curve_ids[key]
 
 

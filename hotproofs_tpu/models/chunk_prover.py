@@ -215,13 +215,27 @@ def check_statement(modulus: int, z0, num_steps, chunk_idx, n_blocks,
     assert num_steps == n_blocks + leaf_depth - 1, "step count"
 
 
-def check_final(z_final, n_blocks,
-                expected_hash: Optional[bytes]) -> bytes:
+def check_final(z_final, n_blocks, expected_hash: Optional[bytes],
+                chunk_idx: Optional[int] = None,
+                leaf_depth: Optional[int] = None,
+                total_depth: Optional[int] = None) -> bytes:
     """Final-state extraction (main.rs:195-201): all blocks consumed, root
-    reached (depth 0); hash = z[2:10] as LE words."""
+    reached (depth 0); hash = z[2:10] as LE words. When the statement
+    fields are supplied, the FULL final-state contract is pinned: the
+    circuit carries total_depth / chunk_idx limbs / leaf_depth through
+    unchanged, so they must still equal the claimed statement
+    (defense-in-depth on top of check_statement's z0 binding —
+    VERDICT r04 weak #7)."""
     assert z_final[0] == n_blocks
     assert z_final[1] == n_blocks, "not all blocks absorbed"
     assert z_final[11] == 0, "did not reach the root"
+    if total_depth is not None:
+        assert z_final[10] == total_depth, "total_depth drifted"
+    if chunk_idx is not None:
+        assert z_final[12] == chunk_idx & 0xFFFFFFFF, "chunk_idx low drifted"
+        assert z_final[13] == chunk_idx >> 32, "chunk_idx high drifted"
+    if leaf_depth is not None:
+        assert z_final[14] == leaf_depth, "leaf_depth drifted"
     root = b"".join(int(w).to_bytes(4, "little") for w in z_final[2:10])
     if expected_hash is not None:
         assert root == expected_hash, "root hash mismatch"
@@ -242,7 +256,10 @@ def verify_with_vk(vk_path: str, proof: "ChunkProof",
         proof.chunk_idx, proof.n_blocks, proof.leaf_depth,
         proof.total_depth)
     z_final = ivc.verify(proof.ivc_proof, io_arity=IO_ARITY)
-    return check_final(z_final, proof.n_blocks, expected_hash)
+    return check_final(z_final, proof.n_blocks, expected_hash,
+                       chunk_idx=proof.chunk_idx,
+                       leaf_depth=proof.leaf_depth,
+                       total_depth=proof.total_depth)
 
 
 class ChunkProver:
@@ -406,9 +423,12 @@ class ChunkProver:
         check_statement(self.modulus, z0, num_steps, chunk_idx, n_blocks,
                         leaf_depth, total_depth)
 
-    def _check_final(self, z_final, n_blocks,
+    def _check_final(self, z_final, proof,
                      expected_hash: Optional[bytes]) -> bytes:
-        return check_final(z_final, n_blocks, expected_hash)
+        return check_final(z_final, proof.n_blocks, expected_hash,
+                           chunk_idx=proof.chunk_idx,
+                           leaf_depth=proof.leaf_depth,
+                           total_depth=proof.total_depth)
 
     def export_vk(self, path: str) -> None:
         """Write the standalone verification key (nova/vk.py); any party
@@ -426,7 +446,7 @@ class ChunkProver:
             proof.ivc_proof.z0, proof.ivc_proof.num_steps, proof.chunk_idx,
             proof.n_blocks, proof.leaf_depth, proof.total_depth)
         z_final = self.ivc.verify(proof.ivc_proof, io_arity=IO_ARITY)
-        return self._check_final(z_final, proof.n_blocks, expected_hash)
+        return self._check_final(z_final, proof, expected_hash)
 
     # ------------------------------------------------------------------
     @property
@@ -505,7 +525,7 @@ class ChunkProver:
             proof.rec.z0, proof.rec.n_steps, proof.chunk_idx,
             proof.n_blocks, proof.leaf_depth, proof.total_depth)
         z_final = self.recursive.verify(proof.rec)
-        return self._check_final(z_final, proof.n_blocks, expected_hash)
+        return self._check_final(z_final, proof, expected_hash)
 
     # ------------------------------------------------------------------
     def prove_segmented(self, data: bytes, chunk_idx: int, n_segments: int,
@@ -535,7 +555,7 @@ class ChunkProver:
             proof.n_blocks, proof.leaf_depth, proof.total_depth)
         z_final = verify_segments(self.ivc, proof.segmented,
                                   io_arity=IO_ARITY)
-        return self._check_final(z_final, proof.n_blocks, expected_hash)
+        return self._check_final(z_final, proof, expected_hash)
 
     def verify_compressed(self, proof: CompressedChunkProof,
                           expected_hash: Optional[bytes] = None) -> bytes:
@@ -544,7 +564,7 @@ class ChunkProver:
             proof.chunk_idx, proof.n_blocks, proof.leaf_depth,
             proof.total_depth)
         z_final = self.spartan.verify(proof.compressed, io_arity=IO_ARITY)
-        return self._check_final(z_final, proof.n_blocks, expected_hash)
+        return self._check_final(z_final, proof, expected_hash)
 
 
 def main(argv=None):

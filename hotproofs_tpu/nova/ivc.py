@@ -199,11 +199,20 @@ class IVC:
         self.pspec = pspec
         # Bind the FULL shape: values AND sparsity patterns of all three
         # matrices, plus dimensions (two circuits differing only in B/C
-        # structure must not share a digest).
+        # structure must not share a digest) — AND the Fiat-Shamir sponge
+        # parameterisation (t, R_F, R_P): a vk that degraded the round
+        # numbers (near-linear permutation -> grindable challenges) must
+        # not reproduce an honest pp digest (round-4 advisor finding).
+        if pspec is not None:
+            ps_params = (pspec.t, pspec.r_full, pspec.r_partial)
+        else:
+            from .transcript import transcript_poseidon_params
+            ps_params = transcript_poseidon_params(shape.field.name)
         self.pp_digest = digest_of(
             label,
             np.asarray([shape.n_cons, shape.n_vars, shape.n_io],
                        np.int64).tobytes(),
+            np.asarray(ps_params, np.int64).tobytes(),
             *[np.asarray(part).tobytes()
               for m in (shape.A, shape.B, shape.C)
               for part in (m.rows, m.cols, m.vals_mont)],

@@ -64,7 +64,12 @@ class CommitmentKey:
         """Pre-scaled generators 16^w * G_j for the first m points — the
         fixed-base fast path: the bases of a commitment key never change,
         so the ~4*W4-step scaling scan runs once per (m, window-count) and
-        every subsequent commit skips it entirely (ops/msm.py design)."""
+        every subsequent commit skips it entirely (ops/msm.py design).
+
+        Disk-cached per (curve, label, m, w4) as uint8 (limbs are base-256
+        digits): the full-width blake3-nova scan is a 256-step doubling
+        chain over 16k points — minutes on the CPU test mesh, which is what
+        blew the round-4 multichip dryrun budget (VERDICT r04 next #2)."""
         w4 = M.n_windows4(max_bits)
         # Reuse a superset if present (msm slices the window prefix; the
         # point prefix is sliced here) — scaling 64 windows of the full key
@@ -74,12 +79,25 @@ class CommitmentKey:
                 if mm == m:
                     return pts
                 return tuple(x[:, :m] for x in pts)
+        disk = os.path.join(
+            _CACHE_DIR, f"scaled_{self.spec.name}_"
+            f"{self.label.decode()}_{m}_{w4}.npy") if self.label else None
+        if disk and os.path.exists(disk):
+            arr = np.load(disk).astype(np.int32)       # (3, W4, m, 32)
+            scaled = tuple(jnp.asarray(arr[i]) for i in range(3))
+            self._scaled[(m, w4)] = scaled
+            return scaled
         key = ("scale", m, w4)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 lambda p: M.scale_points16(self.spec, p, w4))
         pts = tuple(p[:m] for p in self.points)
         scaled = self._jit_cache[key](pts)
+        if disk:
+            arr = np.stack([np.asarray(x) for x in scaled])
+            assert arr.min() >= 0 and arr.max() < 256, \
+                "scaled limbs not canonical base-256 digits"
+            np.save(disk, arr.astype(np.uint8))
         self._scaled[(m, w4)] = scaled
         return scaled
 
@@ -177,6 +195,9 @@ class CommitmentKey:
         even with pre-scaled bases; tools/profile_lockstep_phases.py)."""
         from ..ops import msm_pallas as MP
 
+        assert len(big_idx) <= self.NB_PAD, (
+            f"{len(big_idx)} big witness positions exceed the NB_PAD="
+            f"{self.NB_PAD} padded big-part MSM (raise NB_PAD)")
         key = ("tm_big", tuple(int(v) for v in big_idx))
         if key in self._scaled_tm_cache:
             return self._scaled_tm_cache[key]
@@ -228,6 +249,8 @@ class CommitmentKey:
         MSM — ~500 ms per J=128 batched split commit even pre-scaled."""
         from ..ops import msm_pallas as MP
 
+        assert len(big_idx) <= self.NB_PAD, \
+            f"{len(big_idx)} big positions > NB_PAD={self.NB_PAD}"
         big = jnp.asarray(big_idx.astype(np.int32))
         nb = len(big_idx)
         nbp = self.NB_PAD
@@ -276,6 +299,8 @@ class CommitmentKey:
         over their own pre-scaled time-major bases (scaled_tm_big)."""
         from ..ops import msm_pallas as MP
 
+        assert len(big_idx) <= self.NB_PAD, \
+            f"{len(big_idx)} big positions > NB_PAD={self.NB_PAD}"
         big = jnp.asarray(big_idx.astype(np.int32))
         nb = len(big_idx)
         nbp = self.NB_PAD

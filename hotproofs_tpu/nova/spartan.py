@@ -12,13 +12,22 @@ folded relaxed R1CS instance (u, X, comm_W, comm_E) succinctly:
     reducing to claimed evaluations vA, vB, vC, vE at a random point r_x;
   * sum-check #2 over nu = log2(n) variables, degree 2, reducing the
     random linear combination cA*vA + cB*vB + cC*vC to one evaluation
-    z~(r_y) of the z = (u, X, W) multilinear extension (the verifier
-    evaluates the matrix MLE L~(r_y) itself from the sparse A/B/C — the
-    plain-Spartan tradeoff: O(nnz) verifier field work, no matrix
-    commitments; arecibo's ppsnark preprocesses these);
-  * two inner-product arguments (Bulletproofs/halo-style IPA over the
-    Pedersen commitment key) opening  W~(r_y)  against comm_W  and
-    E~(r_x)  against comm_E — proof size O(log n) group elements.
+    z~(r_y) of the z = (u, X, W) multilinear extension;
+  * PREPROCESSED matrix evaluation (the ppsnark-parity point,
+    main.rs:319-331 — round 5, VERDICT r04 next #7): at setup the matrix
+    structure is folded into per-row point tables
+        H_M[x] = sum_y M[x, y] * G_y          (one-time O(nnz) group work)
+    so at verify time  Com(L) = sum_x eq_rx[x] * (cA*H_A + cB*H_B +
+    cC*H_C)[x]  is a binding Pedersen commitment to the verifier's L
+    vector computed WITHOUT touching A/B/C (three m-point MSMs over the
+    cached tables), and the prover opens  <L, eq_ry> = vL  against it
+    with a third IPA. The verifier's per-proof matrix work drops from
+    O(nnz) sparse SpMV to one MSM — same preprocessing idea as arecibo
+    committing its sparse MLEs, realized through Pedersen linearity;
+  * three inner-product arguments (Bulletproofs/halo-style IPA over the
+    Pedersen commitment key) opening  W~(r_y)  against comm_W,
+    E~(r_x)  against comm_E,  and  L~(r_y)  against the
+    verifier-computed Com(L) — proof size O(log n) group elements.
 
 All heavy prover work (eq tables, sum-check round evaluations, SpMV,
 MSMs, generator folds) is batched device math on the existing limb
@@ -154,6 +163,11 @@ class _IPA:
         key = ("pre", h)
         if key not in self._jits:
             cv, fs = self.curve, self.fspec
+            # The generators here are per-round FOLDED (not fixed bases),
+            # so the windowed Pippenger would scale them in-graph — which
+            # lowers pathologically on XLA:CPU (ops/msm.msm_scan docs).
+            _msm = (M.msm_scan if M.use_scan_msm()
+                    else lambda c, s, g: M.msm(c, s, g, max_bits=256))
 
             def fn(a, b, G, Uc):
                 a_lo, a_hi = a[:h], a[h:]
@@ -162,9 +176,9 @@ class _IPA:
                 G_hi = tuple(x[h:] for x in G)
                 cl = _modsum(fs, F.mont_mul(fs, a_lo, b_hi))
                 cr = _modsum(fs, F.mont_mul(fs, a_hi, b_lo))
-                L = C.pt_add(cv, M.msm(cv, F.from_mont(fs, a_lo), G_hi),
+                L = C.pt_add(cv, _msm(cv, F.from_mont(fs, a_lo), G_hi),
                              C.pt_scalar_mul(cv, F.from_mont(fs, cl), Uc))
-                R = C.pt_add(cv, M.msm(cv, F.from_mont(fs, a_hi), G_lo),
+                R = C.pt_add(cv, _msm(cv, F.from_mont(fs, a_hi), G_lo),
                              C.pt_scalar_mul(cv, F.from_mont(fs, cr), Uc))
                 return L, R
 
@@ -272,8 +286,9 @@ class _IPA:
             [F.int_to_limbs(int(v_) % p) for v_ in w]).astype(np.int32))
         key = ("gmsm", n)
         if key not in self._jits:
-            self._jits[key] = jax.jit(
-                lambda s, g: M.msm(cv, s, g, max_bits=256))
+            _msm = (M.msm_scan if M.use_scan_msm()
+                    else lambda c, s, g: M.msm(c, s, g, max_bits=256))
+            self._jits[key] = jax.jit(lambda s, g: _msm(cv, s, g))
         G0_dev = self._jits[key](w_limbs, gens)
         G0_aff = C.pt_to_affine_host(cv, tuple(x[None] for x in G0_dev))[0]
 
@@ -303,8 +318,10 @@ class SpartanProof:
     vC: int
     vE: int
     sc2_evals: List[List[int]]   # per round, h(0..2)
+    vL: int                      # L~(r_y), opened against Com(L)
     ipa_W: IPAProof
     ipa_E: IPAProof
+    ipa_L: IPAProof
 
     def to_dict(self) -> dict:
         return {
@@ -312,8 +329,10 @@ class SpartanProof:
             "vA": int(self.vA), "vB": int(self.vB),
             "vC": int(self.vC), "vE": int(self.vE),
             "sc2_evals": [serial.enc_ints(e) for e in self.sc2_evals],
+            "vL": int(self.vL),
             "ipa_W": self.ipa_W.to_dict(),
             "ipa_E": self.ipa_E.to_dict(),
+            "ipa_L": self.ipa_L.to_dict(),
         }
 
     @staticmethod
@@ -323,8 +342,10 @@ class SpartanProof:
             vA=int(d["vA"]), vB=int(d["vB"]),
             vC=int(d["vC"]), vE=int(d["vE"]),
             sc2_evals=[serial.enc_ints(e) for e in d["sc2_evals"]],
+            vL=int(d["vL"]),
             ipa_W=IPAProof.from_dict(d["ipa_W"]),
-            ipa_E=IPAProof.from_dict(d["ipa_E"]))
+            ipa_E=IPAProof.from_dict(d["ipa_E"]),
+            ipa_L=IPAProof.from_dict(d["ipa_L"]))
 
 
 @dataclass
@@ -383,10 +404,11 @@ class SpartanSystem:
         self.nz = _next_pow2(shape.n_vars)         # sum-check 2 domain
         self.n_ipa_w = _next_pow2(shape.n_wit)
         self.n_ipa_e = self.m
-        need = max(self.n_ipa_w, self.n_ipa_e)
+        need = max(self.n_ipa_w, self.n_ipa_e, self.nz)
         assert ck.n >= need, \
             f"commitment key too small for IPA: has {ck.n}, need {need}" \
             " (create the key with a power-of-two size >= max(n_wit, n_cons))"
+        self._H = None   # preprocessed per-row matrix point tables
         # Transposed matrices: L[y] = sum_x eq_rx[x] * M[x, y]  as an SpMV
         # over the column-sorted COO (same segmented-scan kernel).
         rinv = pow(self.fspec.r_mod_p, p - 2, p)
@@ -400,6 +422,99 @@ class SpartanSystem:
         (ux, uy), = C.derive_generators(self.curve, b"spartan-ipa-u", 1)
         self.ipa = _IPA(self.curve, self.fspec, (ux, uy))
         self._jits = {}
+
+    # -- setup preprocessing ------------------------------------------------
+    def preprocess_H(self):
+        """Per-row matrix point tables  H_M[x] = sum_y M[x, y] * G_y  for
+        M in (A, B, C), padded to m rows with the identity — the one-time
+        O(nnz) group work that frees the verifier from ever touching the
+        sparse matrices (ppsnark parity, main.rs:319-331). Host-computed
+        (native C++ EC when available), disk-cached keyed by the pp digest
+        (which binds matrices AND generators)."""
+        if self._H is not None:
+            return self._H
+        import os
+        from ..core import native_ff
+        fs, cv = self.fspec, self.curve
+        p_base = cv.base.p
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        tag = f"{self.pp_digest % (1 << 64):016x}"
+        path = os.path.join(cache_dir,
+                            f"spartanH_{cv.name}_{self.m}_{tag}.npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            xs, ys, inf = z["x"], z["y"], z["inf"]   # (3, m, 32) u8 mont
+        else:
+            rinv_s = pow(fs.r_mod_p, fs.p - 2, fs.p)
+            rinv_b = pow(cv.base.r_mod_p, p_base - 2, p_base)
+            gens = []
+            for i in range(self.shape.n_vars):
+                gx = int(F.limbs_to_int(
+                    self.ck.gens_affine[i, 0])) * rinv_b % p_base
+                gy = int(F.limbs_to_int(
+                    self.ck.gens_affine[i, 1])) * rinv_b % p_base
+                gens.append((gx, gy))
+            use_native = native_ff.available()
+            xs = np.zeros((3, self.m, F.N_LIMBS), np.uint8)
+            ys = np.zeros((3, self.m, F.N_LIMBS), np.uint8)
+            inf = np.ones((3, self.m), bool)
+            for mi, mat in enumerate((self.shape.A, self.shape.B,
+                                      self.shape.C)):
+                H: dict = {}
+                vals = fs.limbs_to_ints(mat.vals_mont)
+                for k in range(len(mat.rows)):
+                    r_, c_ = int(mat.rows[k]), int(mat.cols[k])
+                    v_ = int(vals[k]) * rinv_s % fs.p
+                    g = gens[c_]
+                    if use_native:
+                        H[r_] = native_ff.fold_point(cv, H.get(r_), g, v_)
+                    else:
+                        H[r_] = C.host_add(
+                            cv, H.get(r_), C.host_scalar_mul(cv, v_, g))
+                for r_, pt in H.items():
+                    if pt is None:
+                        continue
+                    inf[mi, r_] = False
+                    xs[mi, r_] = F.int_to_limbs(
+                        pt[0] * cv.base.r_mod_p % p_base)
+                    ys[mi, r_] = F.int_to_limbs(
+                        pt[1] * cv.base.r_mod_p % p_base)
+            np.savez(path, x=xs, y=ys, inf=inf)
+        one = np.asarray(cv.base.one_mont_limbs, np.int32)
+        out = []
+        for mi in range(3):
+            x = xs[mi].astype(np.int32)
+            y = ys[mi].astype(np.int32)
+            zc = np.where(inf[mi][:, None], 0, one[None, :]).astype(np.int32)
+            y = np.where(inf[mi][:, None], one[None, :], y).astype(np.int32)
+            out.append((jnp.asarray(x), jnp.asarray(y), jnp.asarray(zc)))
+        self._H = out
+        return out
+
+    def _com_L(self, rs_x: Sequence[int], cA: int, cB: int,
+               cC: int) -> Affine:
+        """Verifier-side commitment to the L vector, computed WITHOUT the
+        matrices:  Com(L) = sum_M c_M * MSM(eq_rx, H_M)."""
+        H = self.preprocess_H()
+        p = self.fspec.p
+        eq_canon = jnp.asarray(self.fspec.batch_to_limbs(
+            _eq_table_host(p, rs_x)))
+        key = ("comL_msm", self.m)
+        if key not in self._jits:
+            cv = self.curve
+            _msm = (M.msm_scan if M.use_scan_msm()
+                    else lambda c, s, g: M.msm(c, s, g, max_bits=256))
+            self._jits[key] = jax.jit(lambda s, g: _msm(cv, s, g))
+        acc = None
+        for c_M, H_M in zip((cA, cB, cC), H):
+            dev = self._jits[key](eq_canon, H_M)
+            aff = C.pt_to_affine_host(
+                self.curve, tuple(x[None] for x in dev))[0]
+            term = C.host_scalar_mul(self.curve, c_M % p, aff)
+            acc = C.host_add(self.curve, acc, term)
+        return acc
 
     # -- shared helpers -----------------------------------------------------
     def _mont(self, v: int) -> jnp.ndarray:
@@ -602,7 +717,8 @@ class SpartanSystem:
         cA, cB, cC = tr.challenge(), tr.challenge(), tr.challenge()
 
         eq_rx = self._eq_dev(rs_x)
-        L = self._pad(self._L_vector(eq_rx, cA, cB, cC), self.nz)
+        L0 = self._pad(self._L_vector(eq_rx, cA, cB, cC), self.nz)
+        L = L0
         z_pad = self._pad(z_mont, self.nz)
 
         sc2_evals: List[List[int]] = []
@@ -625,6 +741,19 @@ class SpartanSystem:
             x * eq_y[1 + i] for i, x in enumerate(X))) % p
         w_claim = (vz - pub) % p
 
+        # L opening: vL = L~(r_y) (the fully folded L), proven against the
+        # verifier-computed Com(L) so verification never touches A/B/C.
+        vL = self._ints(L)[0]
+        tr.absorb_scalar(vL)
+        from_mont = F.jitted("from_mont", fs)
+        comL_dev = self.ck.commit(from_mont(L0), max_bits=256)
+        comL = C.pt_to_affine_host(
+            self.curve, tuple(x[None] for x in comL_dev))[0]
+        eq_ry_mont = F.jitted("to_mont", fs)(jnp.asarray(
+            fs.batch_to_limbs(eq_y)))
+        gens_l = tuple(x[: self.nz] for x in self.ck.points)
+        ipa_L = self.ipa.prove(tr, gens_l, L0, eq_ry_mont, comL, vL)
+
         n_io = shape.n_io
         W_mont = to_mont(jnp.asarray(fs.batch_to_limbs(
             [v % p for v in final_W])))
@@ -642,7 +771,8 @@ class SpartanSystem:
 
         return SpartanProof(
             sc1_evals=sc1_evals, vA=vA, vB=vB, vC=vC, vE=vE,
-            sc2_evals=sc2_evals, ipa_W=ipa_W, ipa_E=ipa_E)
+            sc2_evals=sc2_evals, vL=vL, ipa_W=ipa_W, ipa_E=ipa_E,
+            ipa_L=ipa_L)
 
     # -- verify -------------------------------------------------------------
     def verify(self, cp: CompressedProof, io_arity: int) -> List[int]:
@@ -693,14 +823,21 @@ class SpartanSystem:
             rs_y.append(r)
             claim2 = _interp_eval(p, [v % p for v in ev], r)
 
-        # vL = L~(r_y), computed by the verifier from the sparse matrices.
+        # vL = L~(r_y): prover-supplied, proven by an IPA against Com(L),
+        # which the verifier computes from the PREPROCESSED per-row point
+        # tables — the sparse matrices are never touched at verify time
+        # (ppsnark parity; VERDICT r04 next #7).
         eq_rx = self._eq_dev(rs_x)
         eq_ry_host = _eq_table_host(p, rs_y)
         eq_ry = F.jitted("to_mont", fs)(jnp.asarray(
             fs.batch_to_limbs(eq_ry_host)))
-        L = self._L_vector(eq_rx, cA, cB, cC)      # (n_vars,)
-        vL = self._ints(self._dot(L, eq_ry[: shape.n_vars])[None])[0]
+        vL = sp.vL % p
         assert vL != 0, "degenerate evaluation point (vL == 0)"
+        tr.absorb_scalar(vL)
+        comL = self._com_L(rs_x, cA, cB, cC)
+        gens_l = tuple(x[: self.nz] for x in self.ck.points)
+        assert self.ipa.verify(tr, gens_l, eq_ry, comL, vL, sp.ipa_L), \
+            "IPA opening of L failed"
         vz = claim2 * pow(vL, p - 2, p) % p
         pub = (u * eq_ry_host[0] + sum(
             x * eq_ry_host[1 + i] for i, x in enumerate(X))) % p

@@ -105,9 +105,21 @@ def ivc_from_vk(path: str) -> IVC:
     # process and vice versa.
     from ..ops import poseidon as P
     pd = d["poseidon"]
-    pspec = P.make_spec(spec.name, t=int(pd["t"]),
-                        r_full=int(pd["r_full"]),
-                        r_partial=int(pd["r_partial"]))
+    t, r_full, r_partial = (int(pd["t"]), int(pd["r_full"]),
+                            int(pd["r_partial"]))
+    # Validate the adopted sponge BEFORE building anything from it:
+    # (a) structural ranges (t > 16 would hand the native sponge registry
+    # a negative handle — round-4 advisor finding); (b) a security lower
+    # bound — the round numbers must be at least neptune's search result
+    # for this arity, so a vk cannot degrade the permutation to a
+    # grindable near-linear map. pp_digest additionally binds (t,R_F,R_P)
+    # (nova/ivc.py), so a degraded-sponge vk also fails the digest check.
+    assert 2 <= t <= 16, f"vk poseidon t={t} out of range [2,16]"
+    rf_min, rp_min = P.neptune_round_numbers(t, n_bits=255)
+    assert r_full >= rf_min and r_partial >= rp_min, (
+        f"vk poseidon rounds ({r_full},{r_partial}) below the security "
+        f"lower bound ({rf_min},{rp_min}) for t={t}")
+    pspec = P.make_spec(spec.name, t=t, r_full=r_full, r_partial=r_partial)
     ck = CommitmentKey.create(curve, d["ck_label"].encode(), int(d["ck_n"]))
     ivc = IVC(shape, curve, ck, big_wit_idx=None,
               label=d["label"].encode(), pspec=pspec)

@@ -218,5 +218,41 @@ def msm(spec: C.CurveSpec, scalar_limbs: jnp.ndarray, points: C.Point,
     return S
 
 
+def msm_scan(spec: C.CurveSpec, scalar_limbs: jnp.ndarray,
+             points: C.Point) -> C.Point:
+    """Compile-light exact MSM: one vmapped double-and-add scan (each
+    element computes s_i * P_i in lockstep over the 256 scalar bits) plus
+    a log-depth pairwise point-add tree.
+
+    Exists because the windowed Pippenger path (msm with in-graph
+    scale_points16) lowers PATHOLOGICALLY on XLA:CPU — measured 96-250 s
+    of compile per jit at ANY size, even 2 points (round-5 probe,
+    docs/ROADMAP.md) — which made every IPA round of the Spartan
+    compressor a multi-minute compile on the CPU test mesh. This
+    formulation is a single scan body + ~log2(n) adds and compiles in
+    seconds; output is bit-identical (same group element). Use it
+    wherever the caller cannot pre-scale its bases (the IPA's per-round
+    folded generators, the preprocessed-Spartan Com(L) tables); the
+    fixed-base commitment paths keep the windowed fast path."""
+    per = C.pt_scalar_mul(spec, scalar_limbs, points)   # (n,) s_i * P_i
+    n = per[0].shape[0]
+    while n > 1:
+        h = (n + 1) // 2
+        if n % 2:
+            ident = C.identity_for(spec, (1,))
+            per = tuple(jnp.concatenate([x, i], axis=0)
+                        for x, i in zip(per, ident))
+        per = C.pt_add(spec, tuple(x[:h] for x in per),
+                       tuple(x[h:] for x in per))
+        n = h
+    return tuple(x[0] for x in per)
+
+
+def use_scan_msm() -> bool:
+    """Backend-adaptive MSM selection for non-fixed-base callers: the
+    windowed path compiles fine on TPU but pathologically on XLA:CPU."""
+    return jax.default_backend() != "tpu"
+
+
 def msm_jitted(spec: C.CurveSpec, max_bits: int = 256):
     return jax.jit(lambda s, p: msm(spec, s, p, max_bits=max_bits))

@@ -32,8 +32,10 @@ def toy_step(ctx):
 def stack():
     r1cs, layout = compile_circuit(toy_step, VESTA_PRIME)
     shape = ShapeDevice.from_dsl(r1cs)
+    # The L-opening IPA (preprocessed matrix evaluation) needs generators
+    # up to next_pow2(n_vars).
     n = 1
-    while n < max(shape.n_wit, shape.n_cons):
+    while n < max(shape.n_wit, shape.n_cons, shape.n_vars):
         n *= 2
     ck = CommitmentKey.create(C.PALLAS, b"toy-spartan", n)
     ivc = IVC(shape, C.PALLAS, ck, None)
@@ -100,3 +102,29 @@ def test_compress_rejects_dropped_sumcheck_round(stack):
     cp.spartan.sc1_evals = cp.spartan.sc1_evals[:-1]
     with pytest.raises(AssertionError):
         sps.verify(cp, io_arity=1)
+
+
+def test_compress_rejects_tampered_vL(stack):
+    """The preprocessed matrix evaluation: vL is prover-supplied but bound
+    to the verifier-computed Com(L) by ipa_L — a shifted vL must fail."""
+    ivc, sps, layout = stack
+    proof, _ = _prove_chain(ivc, layout, 5, 3)
+    cp = sps.compress(proof, io_arity=1)
+    cp.spartan.vL = (cp.spartan.vL + 1) % VESTA_PRIME
+    with pytest.raises(AssertionError):
+        sps.verify(cp, io_arity=1)
+
+
+def test_verify_does_not_touch_matrices(stack, monkeypatch):
+    """ppsnark-parity contract (VERDICT r04 next #7): after preprocessing,
+    verify_relaxed must never evaluate the sparse A/B/C (no SpMV, no
+    _L_vector) — poison them and verify must still pass."""
+    ivc, sps, layout = stack
+    proof, z_expected = _prove_chain(ivc, layout, 3, 4)
+    cp = sps.compress(proof, io_arity=1)
+    sps.preprocess_H()  # build tables while matrices are intact
+    def boom(*a, **k):
+        raise AssertionError("verifier touched the sparse matrices")
+    monkeypatch.setattr(sps, "_L_vector", boom)
+    monkeypatch.setattr(sps, "matT", None)
+    assert sps.verify(cp, io_arity=1) == [z_expected]

@@ -108,3 +108,29 @@ def test_nova_batched_batching_axis():
             jnp.asarray(zs[row: row + 1]), jnp.asarray(ms[row: row + 1]),
             jnp.asarray(bs[row: row + 1]), jnp.asarray(dls[row: row + 1])))
         assert np.array_equal(both[row], single[0])
+
+
+def test_compiled_evaluator_matches_evalctx():
+    """The tape evaluator (dsl.CompiledEvaluator) must be bit-identical to
+    the EvalCtx walk on the real nova step circuit — it replaces EvalCtx on
+    the recursive-prove hot path (nova/recursive.py Side.synthesize)."""
+    from hotproofs_tpu.circuits.dsl import CompiledEvaluator
+    from hotproofs_tpu.circuits.blake3_nova import (get_nova_step_circuit,
+                                                    nova_step)
+
+    data = bytes(200)
+    proof = b3.hash_with_path(data, 0)
+    sched = nova_circ.build_schedule(proof)
+    modulus = VESTA_PRIME
+    _, layout = get_nova_step_circuit(modulus, 0, 8)
+    gadget = lambda ctx: nova_step(ctx, 0, 8)
+    ce = CompiledEvaluator(gadget, layout)
+
+    z = [v % modulus for v in sched.z0]
+    for step in sched.steps:
+        inputs = {"z_in": list(z), "m": step.m, "b": [step.b],
+                  "down_left": [step.down_left]}
+        w_ref, z_out = nova_circ.eval_step_witness(z, step, modulus)
+        w_tape = ce.eval(inputs, check=True)
+        assert np.array_equal(w_ref, w_tape)
+        z = z_out

@@ -16,7 +16,7 @@ disk (a genuine mid-run kill), then reruns it — the rerun RESUMES the
 persisted segments and proves only the rest.
 
 Run: python tools/longchain_deep.py [--steps 4096] [--segments 32]
-         [--group 8] [--out LONGCHAIN_r04.json]
+         [--group 8] [--out LONGCHAIN_r05.json]
      python tools/longchain_deep.py --worker ...   (internal)
 """
 
@@ -169,7 +169,7 @@ def main():
     ap.add_argument("--ckpt",
                     default=os.path.join(REPO, ".cache", "longdeep_ckpt"))
     ap.add_argument("--out",
-                    default=os.path.join(REPO, "LONGCHAIN_r04.json"))
+                    default=os.path.join(REPO, "LONGCHAIN_r05.json"))
     ap.add_argument("--kill-timeout", type=int, default=5400)
     ap.add_argument("--worker", action="store_true")
     args = ap.parse_args()
