@@ -18,6 +18,10 @@ from hotproofs_tpu.nova.pedersen import CommitmentKey
 from hotproofs_tpu.nova.r1cs import ShapeDevice
 from hotproofs_tpu.ops import curve as C
 
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles (round-5 suite curation:
+# the default suite must finish <10 min on a 4-core host; run with -m slow)
+
+
 BN254_FR = C.BN254.scalar.p
 CONST = 11
 

@@ -5,7 +5,13 @@ this test runs the exact same entry point on the virtual 8-device CPU mesh
 so a compile-time regression fails CI before the driver ever sees it.
 """
 
+import pytest
+
 import __graft_entry__
+
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles (round-5 suite curation:
+# the default suite must finish <10 min on a 4-core host; run with -m slow)
+
 
 
 def test_dryrun_multichip_8():

@@ -9,6 +9,10 @@ from hotproofs_tpu.ops import curve as C
 from hotproofs_tpu.ops import field as F
 from hotproofs_tpu.ops import msm as M
 
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles (round-5 suite curation:
+# the default suite must finish <10 min on a 4-core host; run with -m slow)
+
+
 
 def _setup(spec, n, scalar_bits, seed):
     rng = random.Random(seed)

@@ -12,6 +12,10 @@ from hotproofs_tpu.ops import curve as C
 from hotproofs_tpu.ops import field as F
 from hotproofs_tpu.nova.pedersen import CommitmentKey
 
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles (round-5 suite curation:
+# the default suite must finish <10 min on a 4-core host; run with -m slow)
+
+
 
 @pytest.fixture(scope="module")
 def ck():

@@ -14,6 +14,10 @@ from hotproofs_tpu.circuits import nova_augmented as NA
 from hotproofs_tpu.circuits.dsl import eval_witness
 from hotproofs_tpu.nova import recursive as R
 
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles (round-5 suite curation:
+# the default suite must finish <10 min on a 4-core host; run with -m slow)
+
+
 
 def _toy_gadget(ctx, z_prev, extra):
     sq = g.mul(ctx, z_prev[0], z_prev[0], name="sq")

@@ -17,6 +17,8 @@ from hotproofs_tpu.nova.r1cs import ShapeDevice
 from hotproofs_tpu.parallel.segments import (SegmentedProof, prove_segments,
                                              split_plan, verify_segments)
 
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles (round-5 curation)
+
 
 def _toy_step(ctx):
     z_out = ctx.declare_output("z_out", 1)

@@ -11,6 +11,8 @@ from hotproofs_tpu.parallel.mesh import make_mesh
 from hotproofs_tpu.parallel.msm_sharded import (batch_commit_sharded,
                                                 msm_sharded)
 
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles (round-5 curation)
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -17,6 +17,10 @@ from hotproofs_tpu.nova.r1cs import ShapeDevice
 from hotproofs_tpu.nova.spartan import CompressedProof, SpartanSystem
 from hotproofs_tpu.ops import curve as C
 
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles (round-5 suite curation:
+# the default suite must finish <10 min on a 4-core host; run with -m slow)
+
+
 CONST = 7
 
 

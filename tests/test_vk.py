@@ -20,6 +20,10 @@ from hotproofs_tpu.nova.pedersen import CommitmentKey
 from hotproofs_tpu.nova.r1cs import ShapeDevice
 from hotproofs_tpu.nova.vk import export_vk, ivc_from_vk
 
+pytestmark = pytest.mark.slow  # multi-minute XLA:CPU compiles (round-5 suite curation:
+# the default suite must finish <10 min on a 4-core host; run with -m slow)
+
+
 
 def _toy_step(ctx):
     z_out = ctx.declare_output("z_out", 1)

@@ -4,6 +4,7 @@ import random
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hotproofs_tpu.core import blake3_ref as b3
 from hotproofs_tpu.circuits import blake3_nova as nova_circ
@@ -12,6 +13,7 @@ from hotproofs_tpu.circuits.blake3_compression import (
     VESTA_PRIME, compression_witness, get_compression_circuit)
 
 
+@pytest.mark.slow  # jitted batch generator: multi-minute XLA:CPU compile
 def test_batched_matches_host():
     rng = random.Random(424)
     B = 4
@@ -39,6 +41,7 @@ def test_batched_matches_host():
             f"witness mismatch at batch {i}"
 
 
+@pytest.mark.slow  # jitted batch generator: multi-minute XLA:CPU compile
 def test_batched_satisfies_r1cs_sample():
     r1cs, layout = get_compression_circuit(VESTA_PRIME)
     rng = random.Random(7)
@@ -55,6 +58,7 @@ def test_batched_satisfies_r1cs_sample():
     assert r1cs.is_satisfied(w)
 
 
+@pytest.mark.slow  # jitted batch generator: multi-minute XLA:CPU compile
 def test_nova_batched_matches_host_full_chain():
     """Walk a real multi-step chain (leaf blocks + parents) and compare every
     step's batched witness against the host evaluator, patching the three
@@ -86,6 +90,7 @@ def test_nova_batched_matches_host_full_chain():
         z = z_out
 
 
+@pytest.mark.slow  # jitted batch generator: multi-minute XLA:CPU compile
 def test_nova_batched_batching_axis():
     """Batch two different steps in one call; each row must match its own
     single-row result."""
