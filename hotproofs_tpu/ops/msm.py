@@ -219,7 +219,7 @@ def msm(spec: C.CurveSpec, scalar_limbs: jnp.ndarray, points: C.Point,
 
 
 def msm_scan(spec: C.CurveSpec, scalar_limbs: jnp.ndarray,
-             points: C.Point) -> C.Point:
+             points: C.Point, max_bits: int = 256) -> C.Point:
     """Compile-light exact MSM: one vmapped double-and-add scan (each
     element computes s_i * P_i in lockstep over the 256 scalar bits) plus
     a log-depth pairwise point-add tree.
@@ -233,8 +233,24 @@ def msm_scan(spec: C.CurveSpec, scalar_limbs: jnp.ndarray,
     seconds; output is bit-identical (same group element). Use it
     wherever the caller cannot pre-scale its bases (the IPA's per-round
     folded generators, the preprocessed-Spartan Com(L) tables); the
-    fixed-base commitment paths keep the windowed fast path."""
-    per = C.pt_scalar_mul(spec, scalar_limbs, points)   # (n,) s_i * P_i
+    fixed-base commitment paths keep the windowed fast path.
+
+    max_bits caps the scan length (e.g. 40 for small-scalar witness
+    commits: 40 sequential steps instead of 256)."""
+    nbits = min(max_bits, F.N_LIMBS * F.LIMB_BITS)
+    bits = []
+    for i in range(nbits):
+        limb, off = divmod(i, F.LIMB_BITS)
+        bits.append((scalar_limbs[..., limb] >> off) & 1)
+    bits_arr = jnp.stack(bits[::-1])                    # MSB first
+
+    def step(acc, bit):
+        acc = C.pt_double(spec, acc)
+        added = C.pt_add(spec, acc, points)
+        return C.pt_select(bit, added, acc), None
+
+    acc0 = C.identity_for(spec, points[0].shape[:-1])
+    per, _ = jax.lax.scan(step, acc0, bits_arr)         # (n,) s_i * P_i
     n = per[0].shape[0]
     while n > 1:
         h = (n + 1) // 2

@@ -48,12 +48,22 @@ def msm_sharded(spec: C.CurveSpec, mesh: Mesh, scalar_limbs: jnp.ndarray,
     pt_specs = (P(axis), P(axis), P(axis))
 
     if scaled is None:
+        # No pre-scaled bases: on the CPU test mesh use the scan MSM (the
+        # windowed body with IN-GRAPH scaling is the pathological XLA:CPU
+        # compile — ops/msm.msm_scan docs). With pre-scaled bases (below)
+        # the windowed path stays on ALL backends: round-5 A/B showed the
+        # scan's 8x extra point-ops make the full-width comm_T RUN slower
+        # than the windowed path's compile+run on CPU (1700 s vs 556 s
+        # dryrun total).
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(axis), pt_specs),
                  out_specs=(P(), P(), P()),
                  check_rep=False)
         def fn(sc, pts):
-            part = M.msm(spec, sc, pts, max_bits=max_bits)
+            if M.use_scan_msm():
+                part = M.msm_scan(spec, sc, pts, max_bits=max_bits)
+            else:
+                part = M.msm(spec, sc, pts, max_bits=max_bits)
             gathered = jax.tree_util.tree_map(
                 lambda x: jax.lax.all_gather(x, axis), part)
             return _reduce_points(spec, gathered)
@@ -88,6 +98,11 @@ def batch_commit_sharded(spec: C.CurveSpec, mesh: Mesh,
              out_specs=(P(axis), P(axis), P(axis)),
              check_rep=False)
     def fn(sc, pts):
+        if M.use_scan_msm():
+            # max_bits-capped scan (e.g. 40 steps for witness commits) —
+            # see msm_sharded on why the CPU mesh avoids the windowed body.
+            return jax.vmap(
+                lambda s: M.msm_scan(spec, s, pts, max_bits=max_bits))(sc)
         return jax.vmap(lambda s: M.msm(spec, s, pts, max_bits=max_bits))(sc)
 
     return fn(scalars_batch, points)
